@@ -1,0 +1,32 @@
+"""storage_tpu — TPU-native commodity storage valuation framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the reference
+cmdty/storage library: storage facility modelling (ratchets, forced flows, fuel
+consumption, inventory loss/cost, terminal constraints), intrinsic valuation,
+one-factor trinomial tree, and multi-factor least-squares Monte Carlo with
+deltas, expected profiles and trigger prices — built around sharded Monte
+Carlo paths, psum-reduced normal-equation regressions and vmapped bang-bang
+decision scans.
+"""
+
+from .facility import (
+    CmdtyStorage,
+    InventoryConstraintsCannotBeFulfilledException,
+    InjectWithdrawRange,
+    RatchetInterp,
+)
+from .api import intrinsic_value, IntrinsicValuationResults
+from .basis import parse_basis_functions
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CmdtyStorage",
+    "RatchetInterp",
+    "InjectWithdrawRange",
+    "InventoryConstraintsCannotBeFulfilledException",
+    "intrinsic_value",
+    "IntrinsicValuationResults",
+    "parse_basis_functions",
+    "__version__",
+]

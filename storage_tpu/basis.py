@@ -1,0 +1,131 @@
+"""Basis functions for the LSMC regression.
+
+The reference exposes a string mini-DSL like ``"1 + x_st + s*x0**2"`` that it
+compiles to C# delegates with Roslyn (``BasisFunctionsBuilder.cs:90-129``).
+Here the same grammar is parsed into plain monomial descriptors
+``(spot_power, {factor_index: power})`` — no code generation — and the design
+matrix is evaluated as a vectorised jnp expression (integer powers by repeated
+multiplication so everything fuses on the VPU).
+"""
+from __future__ import annotations
+
+import re
+import typing as tp
+
+import jax.numpy as jnp
+
+
+class Monomial(tp.NamedTuple):
+    spot_power: int
+    factor_powers: tp.Tuple[tp.Tuple[int, int], ...]  # ((factor_index, power), ...)
+
+    def __str__(self) -> str:
+        parts = []
+        if self.spot_power:
+            parts.append("s" if self.spot_power == 1 else f"s**{self.spot_power}")
+        for idx, p in self.factor_powers:
+            parts.append(f"x{idx}" if p == 1 else f"x{idx}**{p}")
+        return " * ".join(parts) if parts else "1"
+
+
+_TOKEN_RE = re.compile(r"^(?:(?P<one>1)|(?P<spot>[sS])|x(?P<factor>\d+))(?:\*\*(?P<power>\d+))?$")
+
+# Factor aliases used by three_factor_seasonal_value (multi_factor.py:125-126).
+_FACTOR_ALIASES = {"x_st": "x0", "x_lt": "x1", "x_sw": "x2"}
+
+
+def parse_basis_functions(expression: str) -> tp.List[Monomial]:
+    """Parse the basis-function DSL into monomials.
+
+    Grammar (BasisFunctionsBuilder.cs:90-129): monomials separated by ``+``;
+    each monomial is a ``*``-product of ``1``, ``s``/``S`` (spot) and ``xN``
+    (Markov factor N), each optionally raised with ``**p``.  Repeated monomial
+    strings raise, as in the reference.
+    """
+    if expression is None:
+        raise ValueError("Basis function expression cannot be None.")
+    for alias, canonical in _FACTOR_ALIASES.items():
+        expression = expression.replace(alias, canonical)
+    monomial_strs = [m.strip() for m in expression.split("+")]
+    if any(not m for m in monomial_strs):
+        raise ValueError("Basis function expression contains an empty monomial.")
+    if len(set(monomial_strs)) < len(monomial_strs):
+        raise ValueError("Basis function expression contains repeated monomials.")
+    return [_parse_monomial(m) for m in monomial_strs]
+
+
+def _parse_monomial(monomial: str) -> Monomial:
+    spot_power = 0
+    factor_powers: tp.Dict[int, int] = {}
+    for token in (t.strip() for t in _split_product(monomial)):
+        match = _TOKEN_RE.match(token)
+        if not match:
+            raise ValueError(f"Cannot parse basis function term '{token}' in '{monomial}'.")
+        power = int(match.group("power")) if match.group("power") else 1
+        if match.group("one"):
+            continue
+        if match.group("spot"):
+            spot_power += power
+        else:
+            idx = int(match.group("factor"))
+            factor_powers[idx] = factor_powers.get(idx, 0) + power
+    return Monomial(spot_power, tuple(sorted(factor_powers.items())))
+
+
+def _split_product(monomial: str) -> tp.List[str]:
+    """Split on single ``*`` but not ``**``."""
+    parts: tp.List[str] = []
+    current = []
+    i = 0
+    while i < len(monomial):
+        ch = monomial[i]
+        if ch == "*":
+            if i + 1 < len(monomial) and monomial[i + 1] == "*":
+                current.append("**")
+                i += 2
+                continue
+            parts.append("".join(current))
+            current = []
+            i += 1
+            continue
+        current.append(ch)
+        i += 1
+    parts.append("".join(current))
+    return parts
+
+
+def num_factors_required(monomials: tp.Sequence[Monomial]) -> int:
+    highest = -1
+    for m in monomials:
+        for idx, _ in m.factor_powers:
+            highest = max(highest, idx)
+    return highest + 1
+
+
+def _ipow(x, p: int):
+    """x**p for small static integer p via repeated multiplication."""
+    if p == 0:
+        return jnp.ones_like(x)
+    result = x
+    for _ in range(p - 1):
+        result = result * x
+    return result
+
+
+def design_matrix(monomials: tp.Sequence[Monomial], spot, factors):
+    """Evaluate the design matrix.
+
+    ``spot``: [S] simulated spot prices for one period; ``factors``: [F, S]
+    simulated Markov factors.  Returns X with shape [S, B]
+    (analog of ``LsmcStorageValuation.PopulateDesignMatrix``,
+    LsmcStorageValuation.cs:838-855).
+    """
+    cols = []
+    for m in monomials:
+        col = jnp.ones_like(spot)
+        if m.spot_power:
+            col = col * _ipow(spot, m.spot_power)
+        for idx, p in m.factor_powers:
+            col = col * _ipow(factors[idx], p)
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)

@@ -1,0 +1,198 @@
+"""Inventory-space reduction, inventory grids, and bang-bang decision sets.
+
+Host side (numpy float64): the forward/backward feasible-band reduction of
+``StorageHelper.CalculateInventorySpace`` (StorageHelper.cs:39-107), which uses
+the constraint objects' inverse problems and raises eagerly when the band is
+empty — this runs outside jit so the device code never needs data-dependent
+error paths.
+
+Device side (jax): vectorised ratchet-rate lookup and the bang-bang decision
+set of ``StorageHelper.CalculateBangBangDecisionSet`` (StorageHelper.cs:109-197)
+lowered to fixed-width, branchless arrays.
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from .facility import CmdtyStorage, CompiledStorage, InventoryConstraintsCannotBeFulfilledException
+from .utils import periods as pu
+
+
+# ------------------------------------------------------------------ host side
+
+
+def calculate_inventory_space(
+    storage: CmdtyStorage, starting_inventory: float, val_period
+) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Feasible inventory band per period after the decision at the previous period.
+
+    Returns (lower, upper) arrays of length num_steps+1: index 0 is the known
+    starting inventory, index t>0 the band for period ``start_active + t``.
+    """
+    val_p = pu.to_period(val_period, storage.start.freqstr)
+    if val_p > storage.end:
+        raise ValueError("Storage has expired.")
+    start_active = max(storage.start, val_p)
+    periods = pu.period_index(start_active, storage.end)
+    num_steps = len(periods) - 1
+    first_step = (start_active - storage.start).n
+
+    fwd_min = np.empty(num_steps)
+    fwd_max = np.empty(num_steps)
+    min_run = max_run = float(starting_inventory)
+    for i in range(num_steps):
+        period = periods[i]
+        constraint = storage.constraint_at(first_step + i)
+        loss_pcnt = storage._inventory_loss[first_step + i]
+        next_period = periods[i + 1]
+        rng_min = constraint.get_inject_withdraw_range(min_run)
+        min_run = max(
+            min_run - loss_pcnt * min_run + rng_min.min_inject_withdraw_rate,
+            storage.min_inventory(next_period),
+        )
+        fwd_min[i] = min_run
+        rng_max = constraint.get_inject_withdraw_range(max_run)
+        max_run = min(
+            max_run - loss_pcnt * max_run + rng_max.max_inject_withdraw_rate,
+            storage.max_inventory(next_period),
+        )
+        fwd_max[i] = max_run
+
+    back_min = np.empty(num_steps)
+    back_max = np.empty(num_steps)
+    if storage.empty_at_end:
+        back_min[-1] = back_max[-1] = 0.0
+    else:
+        back_min[-1] = storage.min_inventory(storage.end)
+        back_max[-1] = storage.max_inventory(storage.end)
+    for i in range(num_steps - 2, -1, -1):
+        period = periods[i + 1]  # period whose constraint links band i+1 -> i+2
+        constraint = storage.constraint_at(first_step + i + 1)
+        loss_pcnt = storage._inventory_loss[first_step + i + 1]
+        back_max[i] = constraint.inventory_space_upper_bound(
+            back_min[i + 1],
+            back_max[i + 1],
+            storage.min_inventory(period),
+            storage.max_inventory(period),
+            loss_pcnt,
+        )
+        back_min[i] = constraint.inventory_space_lower_bound(
+            back_min[i + 1],
+            back_max[i + 1],
+            storage.min_inventory(period),
+            storage.max_inventory(period),
+            loss_pcnt,
+        )
+
+    lower = np.empty(num_steps + 1)
+    upper = np.empty(num_steps + 1)
+    lower[0] = upper[0] = starting_inventory
+    for i in range(num_steps):
+        lo = max(fwd_min[i], back_min[i])
+        hi = min(fwd_max[i], back_max[i])
+        if lo > hi:
+            raise InventoryConstraintsCannotBeFulfilledException(
+                "Inventory constraints cannot be fulfilled."
+            )
+        lower[i + 1] = lo
+        upper[i + 1] = hi
+    return lower, upper
+
+
+def inventory_grids(
+    lower: np.ndarray, upper: np.ndarray, num_grid_points: int
+) -> np.ndarray:
+    """Per-period inventory grid [num_steps+1, G], linspace over the feasible band.
+
+    Static shape per period (unlike the reference's variable-length
+    ``FixedSpacingStateSpaceGridCalc`` grids, FixedSpacingStateSpaceGridCalc.cs:34-81)
+    — same continuum limit, but jit/TPU friendly.  Degenerate bands collapse to
+    a constant grid.
+    """
+    num_periods = len(lower)
+    g = max(int(num_grid_points), 2)
+    grids = np.empty((num_periods, g))
+    for t in range(num_periods):
+        if upper[t] > lower[t]:
+            grids[t] = np.linspace(lower[t], upper[t], g)
+        else:
+            grids[t] = np.full(g, lower[t])
+    return grids
+
+
+# ---------------------------------------------------------------- device side
+
+
+def ratchet_rates(ratchet_inv, ratchet_min, ratchet_max, is_step: bool, inventory):
+    """Vectorised (min_rate, max_rate) lookup at ``inventory``.
+
+    ``ratchet_*`` are [R] node tables for one step; ``inventory`` any shape.
+    Linear tables lerp between nodes; step tables take the left node
+    (StepInjectWithdrawConstraint.cs:72-79).
+    """
+    inv = jnp.clip(inventory, ratchet_inv[0], ratchet_inv[-1])
+    idx = jnp.clip(
+        jnp.searchsorted(ratchet_inv, inv, side="right") - 1, 0, ratchet_inv.shape[0] - 2
+    )
+    if is_step:
+        return ratchet_min[idx], ratchet_max[idx]
+    x0 = ratchet_inv[idx]
+    x1 = ratchet_inv[idx + 1]
+    w = jnp.where(x1 > x0, (inv - x0) / jnp.where(x1 > x0, x1 - x0, 1.0), 0.0)
+    min_rate = ratchet_min[idx] * (1 - w) + ratchet_min[idx + 1] * w
+    max_rate = ratchet_max[idx] * (1 - w) + ratchet_max[idx + 1] * w
+    return min_rate, max_rate
+
+
+def bang_bang_decisions(
+    min_rate,
+    max_rate,
+    inventory,
+    loss_pcnt,
+    next_min,
+    next_max,
+    num_extra_decisions: int,
+):
+    """Fixed-width decision volumes, shape inventory.shape + (D,).
+
+    D = 2*num_extra_decisions + 3.  Mirrors
+    ``StorageHelper.CalculateBangBangDecisionSet`` (StorageHelper.cs:109-197):
+    the endpoints are the constrained max-withdrawal / max-injection volumes
+    (snapped into the next period's feasible band); when the hold decision (0)
+    is feasible it sits at the middle slot with extra decisions spread either
+    side; when a non-zero decision is forced, interior slots collapse onto the
+    feasible segment (slot 1 duplicates the withdrawal endpoint so that the
+    zero-extra case reproduces the reference's two-point set exactly).
+    """
+    inv_after_loss = inventory - loss_pcnt * inventory
+    w_target = min_rate + inv_after_loss
+    yielded_w = jnp.where(
+        w_target > next_max,
+        next_max - inv_after_loss,  # tolerance snap (host precompute keeps this tiny)
+        jnp.where(w_target > next_min, min_rate, next_min - inv_after_loss),
+    )
+    i_target = max_rate + inv_after_loss
+    yielded_i = jnp.where(
+        i_target < next_min,
+        next_min - inv_after_loss,
+        jnp.where(i_target < next_max, max_rate, next_max - inv_after_loss),
+    )
+    has_zero = (yielded_w < 0.0) & (yielded_i > 0.0)
+
+    e = num_extra_decisions
+    d = 2 * e + 3
+    k = jnp.arange(d, dtype=yielded_w.dtype)
+    mid = e + 1
+    w = yielded_w[..., None]
+    i = yielded_i[..., None]
+    # With a feasible hold: piecewise [w -> 0 -> i] with 0 at the middle slot.
+    frac_lo = k / mid
+    frac_hi = (k - mid) / mid
+    with_zero = jnp.where(k <= mid, w * (1.0 - frac_lo), i * frac_hi)
+    # Forced non-zero: slot 0 and 1 at w, remaining slots spread to i.
+    frac = jnp.clip(k - 1.0, 0.0, None) / (d - 2)
+    without_zero = w + (i - w) * frac
+    return jnp.where(has_zero[..., None], with_zero, without_zero)

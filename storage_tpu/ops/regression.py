@@ -1,0 +1,80 @@
+"""Least-squares regression for the LSMC continuation values.
+
+The reference computes a thin-QR pseudo-inverse of the design matrix with MKL
+per backward step (``LsmcStorageValuation.cs:192-197``), which does not shard.
+The TPU-native formulation standardises the basis columns (the normalisation
+the reference lists as a TODO at LsmcStorageValuation.cs:189) and solves the
+normal equations with a Cholesky factorisation:
+
+    X_std = (X - mean) / std          (column 0, the constant, untouched)
+    M     = X_stdᵀ X_std  (+ ridge jitter)     — psum across path shards
+    c     = M⁻¹ X_stdᵀ Y                        — Y = [S, G] continuation values
+
+Both cross-shard reductions are tiny ([B,B] and [B,G], B ≈ 10), so path
+sharding scales; every shard then solves the same small system redundantly,
+which is cheaper than sharding the solve.
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+
+def _psum(x, axis_name: tp.Optional[str]):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def column_stats(x, axis_name: tp.Optional[str] = None):
+    """Global mean/std of design-matrix columns [S, B] across path shards.
+
+    The constant column (index 0) keeps mean 0 / std 1 so standardisation
+    leaves it intact.
+    """
+    s_local = x.shape[0]
+    count = _psum(jnp.asarray(s_local, x.dtype), axis_name)
+    col_sum = _psum(jnp.sum(x, axis=0), axis_name)
+    mean = col_sum / count
+    col_sq = _psum(jnp.sum((x - mean) ** 2, axis=0), axis_name)
+    std = jnp.sqrt(col_sq / count)
+    std = jnp.where(std > 0, std, 1.0)
+    b = x.shape[1]
+    first = jnp.arange(b) == 0
+    mean = jnp.where(first, 0.0, mean)
+    std = jnp.where(first, 1.0, std)
+    return mean, std
+
+
+def standardise(x, mean, std):
+    return (x - mean) / std
+
+
+def fit_continuation(
+    x_std,
+    y,
+    axis_name: tp.Optional[str] = None,
+    ridge: float = 1e-7,
+):
+    """Regression coefficients for standardised design matrix.
+
+    ``x_std``: [S, B]; ``y``: [S, G] (continuation values per sim for each next
+    inventory grid point).  Returns coeffs [B, G].  The ridge jitter is scaled
+    by mean(diag(M)) to keep the solve well-posed under exactly collinear bases
+    (the reference QR simply fails there — README.md:747-751 notes QR dominates
+    its runtime; here the [B,B] solve is negligible next to the [B,S] matmuls).
+    """
+    m = _psum(
+        jnp.dot(x_std.T, x_std, preferred_element_type=x_std.dtype), axis_name
+    )
+    xty = _psum(jnp.dot(x_std.T, y, preferred_element_type=x_std.dtype), axis_name)
+    b = m.shape[0]
+    jitter = ridge * jnp.trace(m) / b
+    m = m + jitter * jnp.eye(b, dtype=m.dtype)
+    chol, lower = jax.scipy.linalg.cho_factor(m, lower=True)
+    return jax.scipy.linalg.cho_solve((chol, lower), xty)
+
+
+def predict(x_std, coeffs):
+    """Fitted continuation values [S, G] = X_std @ coeffs."""
+    return jnp.dot(x_std, coeffs, preferred_element_type=x_std.dtype)
