@@ -16,7 +16,20 @@ from .facility import (
     RatchetInterp,
 )
 from .api import intrinsic_value, IntrinsicValuationResults
+from .api_lsmc import (
+    three_factor_seasonal_value,
+    multi_factor_value,
+    value_from_sims,
+)
 from .basis import parse_basis_functions
+from .models.multi_factor import MultiFactorModel
+from .models.spot_sim import MultiFactorSpotSim
+from .results import (
+    MultiFactorValuationResults,
+    SimulationDataReturned,
+    TriggerPricePoint,
+    TriggerPriceProfile,
+)
 
 __version__ = "0.1.0"
 
@@ -27,6 +40,15 @@ __all__ = [
     "InventoryConstraintsCannotBeFulfilledException",
     "intrinsic_value",
     "IntrinsicValuationResults",
+    "three_factor_seasonal_value",
+    "multi_factor_value",
+    "value_from_sims",
+    "MultiFactorModel",
+    "MultiFactorSpotSim",
+    "MultiFactorValuationResults",
+    "SimulationDataReturned",
+    "TriggerPricePoint",
+    "TriggerPriceProfile",
     "parse_basis_functions",
     "__version__",
 ]

@@ -1,0 +1,394 @@
+"""LSMC public API: ``three_factor_seasonal_value``, ``multi_factor_value``,
+``value_from_sims`` — mirroring the reference entry points
+(``multi_factor.py:99-208``) with pandas at the boundary and the jax engine
+inside.
+
+Deviations (documented; see also ``engines/lsmc.py``):
+* Monte Carlo draws are threefry counter-based, so NPVs match the reference
+  statistically (within MC standard error), not bit-wise.
+* ``on_progress_update`` fires at phase boundaries (simulation, backward+forward
+  compute, results) rather than once per period — inside a compiled scan there
+  are no per-period host callbacks to hook.
+* ``max_withdraw_trigger_price`` is the trigger price at the maximum withdrawal
+  volume (consistent with its name and the inject side); the reference reports
+  the price at the volume nearest the alternative decision
+  (LsmcStorageValuation.cs:576-584).
+"""
+from __future__ import annotations
+
+import logging
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from . import basis as basis_mod
+from .api import profile_data_frame, IntrinsicValuationResults, DEFAULT_NUM_GRID_POINTS
+from .engines import intrinsic as intrinsic_engine
+from .engines import lsmc as lsmc_engine
+from .facility import CmdtyStorage
+from .models import multi_factor as mf
+from .models.spot_sim import simulate_ou_paths
+from .results import (
+    MultiFactorValuationResults,
+    SimulationDataReturned,
+    TriggerPricePoint,
+    TriggerPriceProfile,
+)
+from .utils import discount as dsc
+from .utils import periods as pu
+from .valuation_inputs import ValuationInputs, prepare_valuation
+
+logger = logging.getLogger("storage_tpu.multi_factor")
+
+ProgressCallback = tp.Optional[tp.Callable[[float], None]]
+
+
+def three_factor_seasonal_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: pu.PeriodSpec,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates: tp.Union[float, pd.Series],
+    settlement_rule: tp.Optional[dsc.SettlementRule],
+    spot_mean_reversion: float,
+    spot_vol: float,
+    long_term_vol: float,
+    seasonal_vol: float,
+    num_sims: int,
+    basis_funcs: str,
+    discount_deltas: bool,
+    seed: tp.Optional[int] = None,
+    fwd_sim_seed: tp.Optional[int] = None,
+    extra_decisions: tp.Optional[int] = None,
+    num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
+    numerical_tolerance: float = 1e-12,
+    on_progress_update: ProgressCallback = None,
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
+    dtype=jnp.float32,
+    antithetic: bool = False,
+) -> MultiFactorValuationResults:
+    """3-factor seasonal LSMC valuation (reference ``multi_factor.py:99-135``).
+
+    Basis functions may reference the factors as ``x_st``/``x_lt``/``x_sw`` or
+    ``x0``/``x1``/``x2``.
+    """
+    freq = cmdty_storage.freq
+    end_period = cmdty_storage.end
+    val_period = pu.to_period(val_date, cmdty_storage.start.freqstr)
+    factors, factor_corrs = mf.create_3_factor_seasonal_params(
+        freq, spot_mean_reversion, spot_vol, long_term_vol, seasonal_vol,
+        val_period, end_period,
+    )
+    return multi_factor_value(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates,
+        settlement_rule, factors, factor_corrs, num_sims, basis_funcs,
+        discount_deltas, seed=seed, fwd_sim_seed=fwd_sim_seed,
+        extra_decisions=extra_decisions,
+        num_inventory_grid_points=num_inventory_grid_points,
+        numerical_tolerance=numerical_tolerance,
+        on_progress_update=on_progress_update,
+        sim_data_returned=sim_data_returned, dtype=dtype, antithetic=antithetic,
+    )
+
+
+def multi_factor_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: pu.PeriodSpec,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates: tp.Union[float, pd.Series],
+    settlement_rule: tp.Optional[dsc.SettlementRule],
+    factors: tp.Collection[mf.FactorType],
+    factor_corrs: mf.FactorCorrsType,
+    num_sims: int,
+    basis_funcs: str,
+    discount_deltas: bool,
+    seed: tp.Optional[int] = None,
+    fwd_sim_seed: tp.Optional[int] = None,
+    extra_decisions: tp.Optional[int] = None,
+    num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
+    numerical_tolerance: float = 1e-12,
+    on_progress_update: ProgressCallback = None,
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
+    dtype=jnp.float32,
+    antithetic: bool = False,
+) -> MultiFactorValuationResults:
+    """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``)."""
+    factor_corrs = mf.validate_multi_factor_params(factors, factor_corrs)
+
+    def sims_provider(inputs: ValuationInputs):
+        pre = mf.simulation_precompute(
+            factors, factor_corrs, inputs.val_day, list(inputs.periods), cmdty_storage.freq
+        )
+        decay = jnp.asarray(pre.decay, dtype)
+        chol = jnp.asarray(pre.chol, dtype)
+        vols = jnp.asarray(pre.vols, dtype)
+        half_var = jnp.asarray(pre.half_var, dtype)
+        fwd = jnp.asarray(inputs.fwd, dtype)
+        reg_key = jax.random.key(0 if seed is None else int(seed))
+        if fwd_sim_seed is None:
+            # Independent stream derived from the regression seed
+            # (reference generates a fresh Mersenne-Twister continuation).
+            val_key = jax.random.fold_in(reg_key, 0x5EED)
+        else:
+            val_key = jax.random.key(int(fwd_sim_seed))
+        path_ids = jnp.arange(num_sims)
+        reg = simulate_ou_paths(
+            reg_key, path_ids, decay, chol, vols, half_var, fwd, antithetic=antithetic
+        )
+        if fwd_sim_seed is not None and int(fwd_sim_seed) == int(0 if seed is None else seed):
+            val = reg
+        else:
+            val = simulate_ou_paths(
+                val_key, path_ids, decay, chol, vols, half_var, fwd, antithetic=antithetic
+            )
+        return (reg.spot, reg.factors), (val.spot, val.factors)
+
+    return _lsmc_calc(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates,
+        settlement_rule, sims_provider, basis_funcs, discount_deltas,
+        extra_decisions, num_inventory_grid_points, numerical_tolerance,
+        on_progress_update, sim_data_returned, dtype,
+    )
+
+
+def value_from_sims(
+    cmdty_storage: CmdtyStorage,
+    val_date: pu.PeriodSpec,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates: tp.Union[float, pd.Series],
+    settlement_rule: tp.Optional[dsc.SettlementRule],
+    sim_spot_regress: pd.DataFrame,
+    sim_spot_valuation: pd.DataFrame,
+    basis_funcs: str,
+    discount_deltas: bool,
+    sim_factors_regress: tp.Optional[tp.Iterable[pd.DataFrame]] = None,
+    sim_factors_valuation: tp.Optional[tp.Iterable[pd.DataFrame]] = None,
+    extra_decisions: tp.Optional[int] = None,
+    num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
+    numerical_tolerance: float = 1e-12,
+    on_progress_update: ProgressCallback = None,
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
+    dtype=jnp.float32,
+) -> MultiFactorValuationResults:
+    """Valuation from user-supplied spot/factor simulations (reference
+    ``multi_factor.py:171-208`` / ``SpotSimResultsFromPanels.cs:36-117``).
+    DataFrames are period-indexed [periods x sims] and must cover the active
+    storage window."""
+
+    def sims_provider(inputs: ValuationInputs):
+        reg = _frames_to_sims(sim_spot_regress, sim_factors_regress, inputs, "regress", dtype)
+        val = _frames_to_sims(
+            sim_spot_valuation, sim_factors_valuation, inputs, "valuation", dtype
+        )
+        if reg[0].shape[1] != val[0].shape[1]:
+            raise ValueError(
+                "Regression and valuation simulations must have the same number of sims."
+            )
+        return reg, val
+
+    return _lsmc_calc(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates,
+        settlement_rule, sims_provider, basis_funcs, discount_deltas,
+        extra_decisions, num_inventory_grid_points, numerical_tolerance,
+        on_progress_update, sim_data_returned, dtype,
+    )
+
+
+def _frames_to_sims(spot_frame, factor_frames, inputs: ValuationInputs, label, dtype):
+    periods = inputs.periods
+    spot = _align_frame(spot_frame, periods, f"sim_spot_{label}")
+    factor_frames = list(factor_frames) if factor_frames is not None else []
+    factors = [
+        _align_frame(f, periods, f"sim_factors_{label}[{i}]")
+        for i, f in enumerate(factor_frames)
+    ]
+    spot_arr = jnp.asarray(spot, dtype)
+    if factors:
+        fac_arr = jnp.asarray(np.stack(factors, axis=1), dtype)  # [P, F, S]
+    else:
+        fac_arr = jnp.zeros((spot_arr.shape[0], 0, spot_arr.shape[1]), dtype)
+    return spot_arr, fac_arr
+
+
+def _align_frame(frame: pd.DataFrame, periods: pd.PeriodIndex, name: str) -> np.ndarray:
+    if not isinstance(frame.index, pd.PeriodIndex):
+        frame = frame.copy()
+        frame.index = pd.PeriodIndex(frame.index, freq=periods.freqstr)
+    missing = periods.difference(frame.index)
+    if len(missing) > 0:
+        raise ValueError(f"{name} does not contain a row for period {missing[0]}.")
+    return frame.reindex(periods).to_numpy(dtype=np.float64)
+
+
+def _lsmc_calc(
+    storage: CmdtyStorage,
+    val_date,
+    inventory,
+    fwd_curve,
+    interest_rates,
+    settlement_rule,
+    sims_provider,
+    basis_funcs: str,
+    discount_deltas: bool,
+    extra_decisions,
+    num_grid_points: int,
+    numerical_tolerance: float,
+    on_progress_update: ProgressCallback,
+    sim_data_returned: SimulationDataReturned,
+    dtype,
+) -> MultiFactorValuationResults:
+    del numerical_tolerance  # API parity; device kernels are branchless
+    if isinstance(fwd_curve, pd.Series) and storage.freq != str(
+        getattr(fwd_curve.index, "freqstr", storage.freq)
+    ) and isinstance(fwd_curve.index, pd.PeriodIndex):
+        raise ValueError("cmdty_storage and forward_curve have different frequencies.")
+
+    def progress(x: float):
+        if on_progress_update is not None:
+            on_progress_update(x)
+
+    monomials = tuple(basis_mod.parse_basis_functions(basis_funcs))
+    inputs = prepare_valuation(
+        storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule
+    )
+
+    logger.info("Simulating price paths.")
+    (spot_reg, factors_reg), (spot_val, factors_val) = sims_provider(inputs)
+    num_factors_needed = basis_mod.num_factors_required(monomials)
+    if num_factors_needed > factors_reg.shape[1]:
+        raise ValueError(
+            f"Basis functions reference factor x{num_factors_needed - 1} but only "
+            f"{factors_reg.shape[1]} factors are simulated."
+        )
+    progress(0.2)
+
+    logger.info("Calculating intrinsic value.")
+    intrinsic_res = intrinsic_engine.intrinsic_valuation(
+        inputs.compiled, inputs.starting_inventory, inputs.fwd, inputs.df_settle,
+        inputs.df_flow, inputs.inventory_lower, inputs.inventory_upper,
+        num_grid_points=num_grid_points, dtype=dtype,
+    )
+    intrinsic_profile = profile_data_frame(
+        inputs.periods, intrinsic_res.inventory, intrinsic_res.inject_withdraw,
+        intrinsic_res.cmdty_consumed, intrinsic_res.inventory_loss,
+        intrinsic_res.period_pv,
+    )
+    progress(0.3)
+
+    logger.info("Calculating LSMC value.")
+    arrays = lsmc_engine.build_engine_arrays(
+        inputs.compiled, inputs.fwd, inputs.df_settle, inputs.df_flow,
+        inputs.inventory_lower, inputs.inventory_upper, num_grid_points, dtype,
+    )
+    terminal_fn = None if inputs.compiled.must_be_empty_at_end else inputs.compiled.terminal_value
+    wants_sim_data = bool(
+        sim_data_returned
+        & (
+            SimulationDataReturned.INVENTORY
+            | SimulationDataReturned.INJECT_WITHDRAW_VOLUME
+            | SimulationDataReturned.CMDTY_CONSUMED
+            | SimulationDataReturned.INVENTORY_LOSS
+            | SimulationDataReturned.NET_VOLUME
+            | SimulationDataReturned.PV
+        )
+    )
+    result = lsmc_engine.lsmc_core(
+        arrays, spot_reg, factors_reg, spot_val, factors_val,
+        jnp.asarray(inputs.starting_inventory, dtype),
+        monomials, int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
+        inputs.compiled.ratchet_is_step, axis_name=None,
+        return_sim_data=wants_sim_data,
+    )
+    result = {k: np.asarray(v) for k, v in result.items() if v is not None}
+    logger.info(
+        "LSMC complete. Forward NPV %.2f (backward %.2f).",
+        result["npv"], result["backward_npv"],
+    )
+    progress(0.9)
+
+    periods = inputs.periods
+    active = periods[:-1]
+    deltas = pd.Series(data=result["deltas"].astype(np.float64), index=periods)
+    expected_profile = profile_data_frame(
+        periods, result["profile_inventory"], result["profile_inject_withdraw"],
+        result["profile_cmdty_consumed"], result["profile_inventory_loss"],
+        result["profile_pv"],
+    )
+    trigger_prices = pd.DataFrame(
+        {
+            "inject_volume": result["max_inject_volume"].astype(np.float64),
+            "inject_trigger_price": result["max_inject_trigger_price"].astype(np.float64),
+            "withdraw_volume": result["max_withdraw_volume"].astype(np.float64),
+            "withdraw_trigger_price": result["max_withdraw_trigger_price"].astype(np.float64),
+        },
+        index=active,
+    )
+    profiles = []
+    for t in range(len(active)):
+        inj = [
+            TriggerPricePoint(float(v), float(p))
+            for v, p in zip(result["trigger_inject_volumes"][t], result["trigger_inject_prices"][t])
+            if not (np.isnan(v) or np.isnan(p))
+        ]
+        wdr = [
+            TriggerPricePoint(float(v), float(p))
+            for v, p in zip(
+                result["trigger_withdraw_volumes"][t], result["trigger_withdraw_prices"][t]
+            )
+            if not (np.isnan(v) or np.isnan(p))
+        ]
+        profiles.append(TriggerPriceProfile(inj, wdr))
+    trigger_profiles = pd.Series(data=profiles, index=active)
+
+    def panel(flag: SimulationDataReturned, data, index) -> pd.DataFrame:
+        if not (sim_data_returned & flag) or data is None:
+            return pd.DataFrame()
+        return pd.DataFrame(data=np.asarray(data, dtype=np.float64), index=index)
+
+    factor_frames_reg = tuple(
+        panel(SimulationDataReturned.FACTORS_REGRESS, np.asarray(factors_reg)[:, i, :], periods)
+        for i in range(factors_reg.shape[1])
+    )
+    factor_frames_val = tuple(
+        panel(SimulationDataReturned.FACTORS_VALUATION, np.asarray(factors_val)[:, i, :], periods)
+        for i in range(factors_val.shape[1])
+    )
+
+    out = MultiFactorValuationResults(
+        npv=float(result["npv"]),
+        val_sim_standard_error=float(result["standard_error"]),
+        deltas=deltas,
+        expected_profile=expected_profile,
+        intrinsic_npv=float(intrinsic_res.npv),
+        intrinsic_profile=intrinsic_profile,
+        sim_spot_regress=panel(SimulationDataReturned.SPOT_REGRESS, spot_reg, periods),
+        sim_spot_valuation=panel(SimulationDataReturned.SPOT_VALUATION, spot_val, periods),
+        sim_factors_regress=factor_frames_reg,
+        sim_factors_valuation=factor_frames_val,
+        sim_inventory=panel(
+            SimulationDataReturned.INVENTORY, result.get("sim_inventory"), periods
+        ),
+        sim_inject_withdraw=panel(
+            SimulationDataReturned.INJECT_WITHDRAW_VOLUME,
+            result.get("sim_inject_withdraw"), active,
+        ),
+        sim_cmdty_consumed=panel(
+            SimulationDataReturned.CMDTY_CONSUMED, result.get("sim_cmdty_consumed"), active
+        ),
+        sim_inventory_loss=panel(
+            SimulationDataReturned.INVENTORY_LOSS, result.get("sim_inventory_loss"), active
+        ),
+        sim_net_volume=panel(
+            SimulationDataReturned.NET_VOLUME, result.get("sim_net_volume"), active
+        ),
+        sim_pv=panel(SimulationDataReturned.PV, result.get("sim_pv"), periods),
+        trigger_prices=trigger_prices,
+        trigger_profiles=trigger_profiles,
+    )
+    progress(1.0)
+    return out

@@ -80,7 +80,13 @@ def _intrinsic_core(
     upper = arrays["upper"]  # [N+1]
     n = grids.shape[0] - 1
 
-    v_end = terminal_fn(fwd[n], grids[n]) if terminal_fn is not None else jnp.zeros_like(grids[n])
+    if terminal_fn is None:
+        v_end = jnp.zeros_like(grids[n])
+    else:
+        # Broadcast: user terminal functions may return scalars.
+        v_end = jnp.broadcast_to(
+            jnp.asarray(terminal_fn(fwd[n], grids[n]), grids.dtype), grids[n].shape
+        )
 
     per_step = {
         "grid": grids[:n],
@@ -171,7 +177,9 @@ def _intrinsic_core(
     )
 
     end_pv = (
-        jnp.zeros(()) if terminal_fn is None else jnp.asarray(terminal_fn(fwd[n], final_inv))
+        jnp.zeros(())
+        if terminal_fn is None
+        else jnp.broadcast_to(jnp.asarray(terminal_fn(fwd[n], final_inv)), ())
     ).astype(grids.dtype)
     npv = jnp.sum(pvs) + end_pv
     zero = jnp.zeros((1,), dtype=grids.dtype)

@@ -83,6 +83,7 @@ class CmdtyStorage:
         terminal_storage_npv: tp.Optional[tp.Callable[[float, float], float]] = None,
         inventory_loss: tp.Union[None, float, int, pd.Series] = None,
         inventory_cost: tp.Union[None, float, int, pd.Series] = None,
+        cost_settlement_rule: tp.Optional[tp.Callable[[pd.Period], _dt.date]] = None,
     ):
         self._freq = freq
         pandas_freq = pu.normalise_freq(freq)
@@ -166,6 +167,12 @@ class CmdtyStorage:
         )
         self._terminal_storage_npv = terminal_storage_npv
         self._must_be_empty_at_end = terminal_storage_npv is None
+        # Date on which inject/withdraw cost cash flows settle; default is the
+        # period's first day (the reference's standard builders,
+        # CmdtyStorage.cs:334-341), but custom cash-flow dates are supported
+        # (the generalisation of WithInjectionCost/WithWithdrawalCost
+        # delegates, CmdtyStorage.cs:371-416).
+        self._cost_settlement_rule = cost_settlement_rule
 
     # ------------------------------------------------------------------ build
 
@@ -338,6 +345,10 @@ class CmdtyStorage:
 
     def terminal_npv_fn(self) -> tp.Optional[tp.Callable[[float, float], float]]:
         return self._terminal_storage_npv
+
+    @property
+    def cost_settlement_rule(self):
+        return self._cost_settlement_rule
 
 
 # ------------------------------------------------------------------ compile

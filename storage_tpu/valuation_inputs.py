@@ -82,8 +82,14 @@ def prepare_valuation(
     # (LsmcStorageValuation.cs:134).
     val_day = pu.period_start_date(val_period)
     discounter = dsc.Discounter(interest_rates)
-    df_settle, df_flow = dsc.discount_factors_for_periods(
+    df_settle, _ = dsc.discount_factors_for_periods(
         val_day, periods[:-1], settlement_rule, discounter
+    )
+    # Operating-cost cash flows settle per the storage's cost settlement rule,
+    # defaulting to the period's first day (CmdtyStorage.cs:334-341); passing
+    # the cost rule as the "settlement rule" here yields exactly those factors.
+    df_flow, _ = dsc.discount_factors_for_periods(
+        val_day, periods[:-1], storage.cost_settlement_rule, discounter
     )
 
     lower, upper = gridmod.calculate_inventory_space(storage, inventory, val_period)
