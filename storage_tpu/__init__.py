@@ -15,7 +15,7 @@ from .facility import (
     InjectWithdrawRange,
     RatchetInterp,
 )
-from .api import intrinsic_value, IntrinsicValuationResults
+from .api import intrinsic_value, trinomial_value, trinomial_deltas, IntrinsicValuationResults
 from .api_lsmc import (
     three_factor_seasonal_value,
     multi_factor_value,
@@ -39,6 +39,8 @@ __all__ = [
     "InjectWithdrawRange",
     "InventoryConstraintsCannotBeFulfilledException",
     "intrinsic_value",
+    "trinomial_value",
+    "trinomial_deltas",
     "IntrinsicValuationResults",
     "three_factor_seasonal_value",
     "multi_factor_value",

@@ -110,6 +110,133 @@ def intrinsic_value(
     return IntrinsicValuationResults(float(result.npv), profile)
 
 
+def trinomial_value(
+    cmdty_storage: CmdtyStorage,
+    val_date: pu.PeriodSpec,
+    inventory: float,
+    forward_curve: pd.Series,
+    spot_volatility: pd.Series,
+    mean_reversion: float,
+    time_step: float,
+    interest_rates: tp.Union[float, pd.Series],
+    settlement_rule: tp.Optional[dsc.SettlementRule],
+    num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
+    numerical_tolerance: float = 1e-12,
+    dtype=jnp.float32,
+) -> float:
+    """One-factor trinomial-tree storage valuation (reference
+    ``trinomial.py:36-85``).  Returns the NPV."""
+    del numerical_tolerance
+    from .engines import tree as tree_engine
+    from .models import trinomial_tree as tt
+
+    storage = cmdty_storage
+    freq = storage.start.freqstr
+    val_period = pu.to_period(val_date, freq)
+
+    if val_period > storage.end:
+        return 0.0
+    if val_period == storage.end:
+        if storage.empty_at_end:
+            if inventory > 0:
+                raise ValueError(
+                    "Storage must be empty at end, but inventory is greater than zero."
+                )
+            return 0.0
+        price = float(forward_curve[val_period])
+        return storage.terminal_storage_npv(price, inventory)
+
+    if isinstance(spot_volatility.index, pd.PeriodIndex):
+        if spot_volatility.index.freqstr != freq:
+            raise ValueError(
+                "cmdty_storage and spot_volatility have different frequencies."
+            )
+    inputs = prepare_valuation(
+        storage, val_date, inventory, forward_curve, interest_rates, settlement_rule
+    )
+    # The tree starts at the valuation period (TreeStorageValuation.cs:171-184);
+    # the storage DP starts at the first active period.
+    tree_periods = pu.period_index(val_period, storage.end)
+    fwd_tree = forward_curve.reindex(tree_periods)
+    if fwd_tree.isna().any():
+        raise ValueError(
+            "Forward curve starts too late. Must start on or before the current period."
+        )
+    vols_tree = spot_volatility.reindex(tree_periods)
+    if vols_tree.isna().any():
+        raise ValueError("Spot volatility curve does not cover the valuation horizon.")
+    tree = tt.build_tree(
+        fwd_tree.to_numpy(dtype=np.float64),
+        vols_tree.to_numpy(dtype=np.float64),
+        mean_reversion,
+        time_step,
+    )
+    offset = (inputs.periods[0] - val_period).n
+    result = tree_engine.tree_valuation(
+        inputs.compiled,
+        tree,
+        offset,
+        inputs.starting_inventory,
+        inputs.fwd,
+        inputs.df_settle,
+        inputs.df_flow,
+        inputs.inventory_lower,
+        inputs.inventory_upper,
+        num_grid_points=num_inventory_grid_points,
+        dtype=dtype,
+    )
+    return float(result.npv)
+
+
+def trinomial_deltas(
+    cmdty_storage: CmdtyStorage,
+    val_date: pu.PeriodSpec,
+    inventory: float,
+    forward_curve: pd.Series,
+    spot_volatility: pd.Series,
+    mean_reversion: float,
+    time_step: float,
+    interest_rates: tp.Union[float, pd.Series],
+    settlement_rule: tp.Optional[dsc.SettlementRule],
+    fwd_contracts: tp.Iterable,
+    num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
+    numerical_tolerance: float = 1e-12,
+    delta_shift: tp.Optional[float] = None,
+    dtype=jnp.float32,
+) -> tp.List[float]:
+    """Deltas by central finite difference of the tree NPV in the forward
+    curve, one bump per contract (reference ``trinomial.py:88-118``).
+    ``fwd_contracts`` entries are period-likes or (start, end) range tuples.
+
+    The default ``delta_shift`` is precision-aware: the reference's 1e-5 bump
+    vanishes below float32 NPV resolution, so f32 valuations use 0.01.
+    """
+    if delta_shift is None:
+        delta_shift = 1e-5 if jnp.dtype(dtype).itemsize >= 8 else 1e-2
+    freq = cmdty_storage.start.freqstr
+    deltas = []
+    for contract in fwd_contracts:
+        if isinstance(contract, tuple):
+            start, end = (pu.to_period(c, freq) for c in contract)
+        else:
+            start = end = pu.to_period(contract, freq)
+        bump = pd.Series(0.0, index=forward_curve.index)
+        mask = (forward_curve.index >= start) & (forward_curve.index <= end)
+        bump[mask] = delta_shift
+        value_up = trinomial_value(
+            cmdty_storage, val_date, inventory, forward_curve + bump, spot_volatility,
+            mean_reversion, time_step, interest_rates, settlement_rule,
+            num_inventory_grid_points, numerical_tolerance, dtype,
+        )
+        value_down = trinomial_value(
+            cmdty_storage, val_date, inventory, forward_curve - bump, spot_volatility,
+            mean_reversion, time_step, interest_rates, settlement_rule,
+            num_inventory_grid_points, numerical_tolerance, dtype,
+        )
+        deltas.append((value_up - value_down) / (2.0 * delta_shift))
+    return deltas
+
+
 def _empty_profile(freq: str) -> pd.DataFrame:
     index = pd.PeriodIndex([], freq=pu.normalise_freq(freq))
     return profile_data_frame(

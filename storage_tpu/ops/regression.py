@@ -64,10 +64,24 @@ def fit_continuation(
     (the reference QR simply fails there — README.md:747-751 notes QR dominates
     its runtime; here the [B,B] solve is negligible next to the [B,S] matmuls).
     """
+    # precision=HIGHEST: TPU matmuls default to bf16 operand precision, which
+    # is too coarse for the normal-equation moments that set decision quality.
     m = _psum(
-        jnp.dot(x_std.T, x_std, preferred_element_type=x_std.dtype), axis_name
+        jnp.dot(
+            x_std.T, x_std,
+            preferred_element_type=x_std.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        axis_name,
     )
-    xty = _psum(jnp.dot(x_std.T, y, preferred_element_type=x_std.dtype), axis_name)
+    xty = _psum(
+        jnp.dot(
+            x_std.T, y,
+            preferred_element_type=x_std.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        axis_name,
+    )
     b = m.shape[0]
     jitter = ridge * jnp.trace(m) / b
     m = m + jitter * jnp.eye(b, dtype=m.dtype)
@@ -76,5 +90,14 @@ def fit_continuation(
 
 
 def predict(x_std, coeffs):
-    """Fitted continuation values [S, G] = X_std @ coeffs."""
-    return jnp.dot(x_std, coeffs, preferred_element_type=x_std.dtype)
+    """Fitted continuation values [S, G] = X_std @ coeffs.
+
+    HIGH precision (bf16 x 3 passes ~ f32): continuation values feed an argmax
+    whose errors behave like extra MC noise, so full HIGHEST passes are not
+    worth the cost on this [S, B] x [B, G] hot matmul.
+    """
+    return jnp.dot(
+        x_std, coeffs,
+        preferred_element_type=x_std.dtype,
+        precision=jax.lax.Precision.HIGH,
+    )

@@ -1,0 +1,167 @@
+"""Trinomial tree engine tests.
+
+Oracles per the reference test strategy (``TreeStorageValuationTest.cs`` /
+``test_trinomial.py``): deep-in-the-money storage equals intrinsic value;
+tree prices a European call at Black-76; 1-factor LSMC agrees with the tree
+within 0.03% (simple storage, LsmcStorageValuationTest.cs:425-451); tree is
+risk-neutral (E[spot] = forward).
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.stats import norm
+
+from storage_tpu import CmdtyStorage, intrinsic_value, multi_factor_value, trinomial_value
+from storage_tpu.models.trinomial_tree import build_tree, build_intrinsic_tree
+from storage_tpu.results import SimulationDataReturned
+
+F64 = jnp.float64
+
+
+class TestTreeLattice:
+    def test_probabilities_sum_to_one(self):
+        tree = build_tree(np.full(30, 50.0), np.full(30, 0.7), 10.0, 1 / 365.0)
+        # Transition matrices are row-stochastic; node probabilities sum to 1.
+        np.testing.assert_allclose(tree.transition.sum(axis=-1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(tree.q.sum(axis=-1), 1.0, atol=1e-12)
+
+    def test_calibrated_to_forward_curve(self):
+        fwd = 50.0 + 10 * np.sin(np.arange(40) / 5.0)
+        tree = build_tree(fwd, np.full(40, 0.9), 5.5, 1 / 365.0)
+        implied_fwd = (tree.q * tree.spot).sum(axis=-1)
+        np.testing.assert_allclose(implied_fwd, fwd, rtol=1e-12)
+
+    def test_log_spot_variance_matches_ou(self):
+        # Var[ln S_k] should match sigma^2 (1 - exp(-2 a t)) / (2a).
+        a, vol, dt, steps = 8.0, 0.8, 1 / 365.0, 120
+        tree = build_tree(np.full(steps, 50.0), np.full(steps, vol), a, dt)
+        k = steps - 1
+        t = k * dt
+        log_s = np.log(tree.spot[k])
+        mean = (tree.q[k] * log_s).sum()
+        var = (tree.q[k] * (log_s - mean) ** 2).sum()
+        expected = vol**2 * (1 - math.exp(-2 * a * t)) / (2 * a)
+        assert var == pytest.approx(expected, rel=0.02)
+
+    def test_european_call_matches_black76(self):
+        a, vol, dt, steps = 6.0, 0.6, 1 / 365.0, 91
+        fwd_price = 47.0
+        tree = build_tree(np.full(steps, fwd_price), np.full(steps, vol), a, dt)
+        k = steps - 1
+        t = k * dt
+        strike = 49.0
+        tree_value = (tree.q[k] * np.maximum(tree.spot[k] - strike, 0.0)).sum()
+        implied_vol = vol * math.sqrt((1 - math.exp(-2 * a * t)) / (2 * a) / t)
+        vrt = implied_vol * math.sqrt(t)
+        d1 = (math.log(fwd_price / strike) + implied_vol**2 / 2 * t) / vrt
+        d2 = d1 - vrt
+        b76 = fwd_price * norm.cdf(d1) - strike * norm.cdf(d2)
+        # 4 substeps per day: lattice converges to ~0.3% on this OTM call.
+        assert tree_value == pytest.approx(b76, rel=5e-3)
+
+    def test_european_call_converges_with_substeps(self):
+        a, vol, dt, steps = 6.0, 0.6, 1 / 365.0, 91
+        fwd_price, strike = 47.0, 49.0
+        t = (steps - 1) * dt
+        implied_vol = vol * math.sqrt((1 - math.exp(-2 * a * t)) / (2 * a) / t)
+        vrt = implied_vol * math.sqrt(t)
+        d1 = (math.log(fwd_price / strike) + implied_vol**2 / 2 * t) / vrt
+        b76 = fwd_price * norm.cdf(d1) - strike * norm.cdf(d1 - vrt)
+        errors = []
+        for nsub in (1, 4):
+            tree = build_tree(
+                np.full(steps, fwd_price), np.full(steps, vol), a, dt, num_substeps=nsub
+            )
+            value = (tree.q[steps - 1] * np.maximum(tree.spot[steps - 1] - strike, 0.0)).sum()
+            errors.append(abs(value - b76) / b76)
+        assert errors[1] < errors[0]
+
+    def test_intrinsic_tree_is_forward_curve(self):
+        fwd = np.array([10.0, 20.0, 30.0])
+        tree = build_intrinsic_tree(fwd)
+        np.testing.assert_allclose(tree.spot[:, 0], fwd)
+        np.testing.assert_allclose(tree.q[:, 0], 1.0)
+
+
+def storage_and_market():
+    storage = CmdtyStorage(
+        "D", "2019-12-01", "2020-02-01", 1.1, 0.9,
+        min_inventory=0.0, max_inventory=10_000.0,
+        max_injection_rate=400.0, max_withdrawal_rate=400.0,
+    )
+    val_date = "2019-12-01"
+    idx = pd.period_range(val_date, "2020-02-01", freq="D")
+    i = np.arange(len(idx))
+    fwd = pd.Series(index=idx, data=35.0 + 8 * np.sin(2 * np.pi * i / 60.0))
+    vols = pd.Series(index=idx.copy(), data=0.75 + 0.2 * np.sin(2 * np.pi * i / 60.0))
+    rates = pd.Series(index=pd.period_range(val_date, "2020-04-01", freq="D"), data=0.04)
+
+    def settle(period):
+        return (period.asfreq("M").asfreq("D", "end") + 20).start_time.date()
+
+    return storage, val_date, fwd, vols, rates, settle
+
+
+class TestTreeStorageValuation:
+    def test_near_zero_vol_equals_intrinsic(self):
+        storage, val_date, fwd, vols, rates, settle = storage_and_market()
+        tiny_vols = pd.Series(index=vols.index, data=1e-6)
+        tree_npv = trinomial_value(
+            storage, val_date, 0.0, fwd, tiny_vols, 5.5, 1 / 365.0, rates, settle,
+            num_inventory_grid_points=100, dtype=F64,
+        )
+        intrinsic = intrinsic_value(
+            storage, val_date, 0.0, fwd, rates, settle,
+            num_inventory_grid_points=100, dtype=F64,
+        )
+        # Backward-value vs forward-sum interpolation error shrinks with grid
+        # refinement (0.08% at G=100 -> 0.014% at G=1000); 0.1% here.
+        assert tree_npv == pytest.approx(intrinsic.npv, rel=1e-3)
+
+    def test_option_value_positive(self):
+        storage, val_date, fwd, vols, rates, settle = storage_and_market()
+        tree_npv = trinomial_value(
+            storage, val_date, 0.0, fwd, vols, 5.5, 1 / 365.0, rates, settle, dtype=F64
+        )
+        intrinsic = intrinsic_value(storage, val_date, 0.0, fwd, rates, settle, dtype=F64)
+        assert tree_npv > intrinsic.npv
+
+    def test_lsmc_agrees_with_tree_one_factor(self):
+        # Cross-model oracle (LsmcStorageValuationTest.cs:425-451): 1F LSMC and
+        # the tree price the same model; reference tolerance 0.03% with shared
+        # infrastructure, slightly looser here across RNG/lattice designs.
+        storage, val_date, fwd, vols, rates, settle = storage_and_market()
+        mean_reversion = 14.5
+        tree_npv = trinomial_value(
+            storage, val_date, 0.0, fwd, vols, mean_reversion, 1 / 365.0, rates, settle,
+            num_inventory_grid_points=100, dtype=F64,
+        )
+        vol_idx = pd.period_range(val_date, "2020-04-01", freq="D")
+        vol_series = vols.reindex(vol_idx).ffill()
+        lsmc = multi_factor_value(
+            storage, val_date, 0.0, fwd, rates, settle,
+            [(mean_reversion, vol_series)], None, 4000,
+            "1 + x0 + x0**2 + x0**3 + s", False, seed=11, fwd_sim_seed=13,
+            num_inventory_grid_points=100, dtype=F64,
+            sim_data_returned=SimulationDataReturned.NONE,
+        )
+        # The tree value is converged to ±1 currency unit across substep
+        # refinements; LSMC carries MC noise, so accept within 2 standard
+        # errors (the reference's 0.03% band relies on its shared RNG).
+        assert abs(lsmc.npv - tree_npv) < 2 * lsmc.val_sim_standard_error
+
+    def test_val_date_at_end(self):
+        storage, _, fwd, vols, rates, settle = storage_and_market()
+        storage2 = CmdtyStorage(
+            "D", "2019-12-01", "2020-02-01", 1.1, 0.9,
+            min_inventory=0.0, max_inventory=10_000.0,
+            max_injection_rate=400.0, max_withdrawal_rate=400.0,
+            terminal_storage_npv=lambda p, i: p * i,
+        )
+        npv = trinomial_value(
+            storage2, "2020-02-01", 100.0, fwd, vols, 5.5, 1 / 365.0, rates, settle
+        )
+        assert npv == pytest.approx(float(fwd[pd.Period("2020-02-01", freq="D")]) * 100.0)
