@@ -179,7 +179,6 @@ def lsmc_backward(
         mean, std = column_stats(dm, axis_name)
         dm_std = (dm - mean) / std
         coeffs = fit_continuation(dm_std, v_act_next.T, axis_name)  # [B, G]
-        c_reg = predict(dm_std, coeffs).T  # [G_next, S]
 
         grid_t = x["grid"]
         min_rate, max_rate = gridmod.ratchet_rates(
@@ -193,6 +192,17 @@ def lsmc_backward(
         inv_after = grid_t[:, None] + decisions - loss[:, None]  # [G, D]
         idx_lo, w_hi = interp.interp_weights(x["grid_next"], inv_after)  # [G, D]
 
+        # Regressed continuation at every (grid, decision) target inventory:
+        # interpolate in coefficient space (linear interp commutes with the
+        # linear model), then one [S,B]x[B,G*D] matmul — replaces a per-decision
+        # gather+lerp over [G, S] fitted values.
+        ci = (
+            coeffs[:, idx_lo] * (1 - w_hi) + coeffs[:, idx_lo + 1] * w_hi
+        )  # [B, G, D]
+        pred = jnp.einsum(
+            "sb,bgd->gds", dm_std, ci, precision=jax.lax.Precision.HIGH
+        )  # [G, D, S]
+
         a, b, _consumed = _decision_cashflow_coeffs(decisions, x)  # [G, D]
         inv_cost_npv = x["inv_cost_rate"] * grid_t * x["df_flow"]  # [G]
         b = b - inv_cost_npv[:, None]
@@ -203,14 +213,13 @@ def lsmc_backward(
         best_act = jnp.zeros_like(best_reg)
         # Unrolled loop over the (small, static) decision axis: running argmax on
         # regressed values, realising actual values (the anti-foresight trick,
-        # LsmcStorageValuation.cs:327-335) without materialising [G, D, S].
+        # LsmcStorageValuation.cs:327-335) without materialising [G, D, S] twice.
         for d in range(num_decisions):
             lo = idx_lo[:, d]
             w = w_hi[:, d][:, None]
-            c_reg_d = c_reg[lo] * (1 - w) + c_reg[lo + 1] * w  # [G, S]
-            c_act_d = v_act_next[lo] * (1 - w) + v_act_next[lo + 1] * w
+            c_act_d = v_act_next[lo] * (1 - w) + v_act_next[lo + 1] * w  # [G, S]
             imm = a[:, d][:, None] * spot[None, :] + b[:, d][:, None]
-            val_reg = imm + c_reg_d
+            val_reg = imm + pred[:, d, :]
             better = val_reg > best_reg
             best_reg = jnp.where(better, val_reg, best_reg)
             best_act = jnp.where(better, imm + c_act_d, best_act)
@@ -281,10 +290,7 @@ def lsmc_forward(
         )  # [S, D]
         loss = x["loss_pcnt"] * inventory  # [S]
         inv_after = inventory[:, None] + decisions - loss[:, None]  # [S, D]
-        idx_lo, w_hi = interp.interp_weights(x["grid_next"], inv_after)  # [S, D]
-        cont_lo = jnp.take_along_axis(c_reg, idx_lo, axis=1)
-        cont_hi = jnp.take_along_axis(c_reg, idx_lo + 1, axis=1)
-        cont = cont_lo * (1 - w_hi) + cont_hi * w_hi  # [S, D]
+        cont = interp.interp_per_sim(x["grid_next"], c_reg, inv_after)  # [S, D]
 
         a, b, consumed = _decision_cashflow_coeffs(decisions, x)  # [S, D]
         inv_cost_npv = x["inv_cost_rate"] * inventory * x["df_flow"]  # [S]
@@ -292,7 +298,10 @@ def lsmc_forward(
 
         total = imm + cont
         best = jnp.argmax(total, axis=1)  # [S]
-        take = lambda arr: jnp.take_along_axis(arr, best[:, None], axis=1)[:, 0]
+        # One-hot contraction instead of take_along_axis: D is tiny and
+        # minor-axis gathers are slow on TPU.
+        onehot = (best[:, None] == jnp.arange(num_decisions)).astype(imm.dtype)
+        take = lambda arr: jnp.sum(arr * onehot, axis=1)
         opt_decision = take(decisions)
         opt_consumed = take(consumed)
         opt_imm = take(imm)
@@ -318,7 +327,10 @@ def lsmc_forward(
         )
 
         # ---- Trigger prices at the expected inventory (LsmcStorageValuation.cs:523-592).
-        cbar = _global_mean_over_sims(c_reg.T, axis_name)  # [G_next] mean continuation
+        # Mean continuation per grid point = (mean standardised design row) @
+        # coeffs — no [S, G] reduction needed.
+        xbar = _global_mean_over_sims(dm_std.T, axis_name)  # [B]
+        cbar = xbar @ x["coeffs"]  # [G_next]
         e_loss = x["loss_pcnt"] * expected_inventory
         e_min_rate, e_max_rate = gridmod.ratchet_rates(
             x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"], ratchet_is_step,

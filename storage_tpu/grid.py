@@ -25,12 +25,18 @@ from .utils import periods as pu
 
 
 def calculate_inventory_space(
-    storage: CmdtyStorage, starting_inventory: float, val_period
+    storage: CmdtyStorage, starting_inventory: float, val_period,
+    use_native: tp.Optional[bool] = None,
 ) -> tp.Tuple[np.ndarray, np.ndarray]:
     """Feasible inventory band per period after the decision at the previous period.
 
     Returns (lower, upper) arrays of length num_steps+1: index 0 is the known
     starting inventory, index t>0 the band for period ``start_active + t``.
+
+    ``use_native``: None = use the C++ reducer when available and the facility
+    is table-representable (constant/piecewise-linear/step ratchets of uniform
+    node count); True forces it; False forces the pure-Python path.  Both paths
+    produce identical float64 results (pinned by tests).
     """
     val_p = pu.to_period(val_period, storage.start.freqstr)
     if val_p > storage.end:
@@ -39,6 +45,17 @@ def calculate_inventory_space(
     periods = pu.period_index(start_active, storage.end)
     num_steps = len(periods) - 1
     first_step = (start_active - storage.start).n
+
+    if use_native is not False:
+        native_result = _native_inventory_space(
+            storage, starting_inventory, periods, first_step, num_steps
+        )
+        if native_result is not None:
+            return native_result
+        if use_native:
+            raise RuntimeError(
+                "Native inventory-space reduction unavailable for this facility."
+            )
 
     fwd_min = np.empty(num_steps)
     fwd_max = np.empty(num_steps)
@@ -102,6 +119,69 @@ def calculate_inventory_space(
     return lower, upper
 
 
+def _native_inventory_space(
+    storage: CmdtyStorage, starting_inventory, periods, first_step, num_steps
+) -> tp.Optional[tp.Tuple[np.ndarray, np.ndarray]]:
+    """C++ fast path of the band reduction (native/storage_native.cpp,
+    ``stpu_inventory_space_reduce``).  Returns None when ineligible."""
+    from . import constraints as con
+    from . import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    tables = []
+    is_step_flags = set()
+    for t in range(num_steps):
+        constraint = storage.constraint_at(first_step + t)
+        if isinstance(constraint, con.PolynomialInjectWithdrawConstraint):
+            return None  # exact polynomial inverse only in the Python path
+        inv, mn, mx, is_step = constraint.table(
+            storage.min_inventory(periods[t]), storage.max_inventory(periods[t])
+        )
+        tables.append((inv, mn, mx))
+        is_step_flags.add(is_step)
+    if len(is_step_flags) > 1:
+        return None
+    widths = {len(t[0]) for t in tables}
+    if len(widths) != 1:
+        return None  # mixed node counts: padding would distort step brackets
+    width = widths.pop()
+
+    import ctypes
+
+    node_inv = np.ascontiguousarray([t[0] for t in tables], dtype=np.float64)
+    node_min = np.ascontiguousarray([t[1] for t in tables], dtype=np.float64)
+    node_max = np.ascontiguousarray([t[2] for t in tables], dtype=np.float64)
+    min_inv = np.array([storage.min_inventory(p) for p in periods], dtype=np.float64)
+    max_inv = np.array([storage.max_inventory(p) for p in periods], dtype=np.float64)
+    if storage.empty_at_end:
+        min_inv[-1] = max_inv[-1] = 0.0
+    loss = np.array(
+        [storage._inventory_loss[first_step + t] for t in range(num_steps)],
+        dtype=np.float64,
+    )
+    lower = np.empty(num_steps + 1)
+    upper = np.empty(num_steps + 1)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    rc = lib.stpu_inventory_space_reduce(
+        num_steps, width, int(is_step_flags == {True}),
+        ptr(node_inv), ptr(node_min), ptr(node_max),
+        ptr(min_inv), ptr(max_inv), ptr(loss),
+        float(starting_inventory), ptr(lower), ptr(upper),
+    )
+    if rc == 1:
+        raise InventoryConstraintsCannotBeFulfilledException(
+            "Inventory constraints cannot be fulfilled."
+        )
+    if rc == 2:
+        raise ValueError("Storage inventory constraints cannot be satisfied.")
+    return lower, upper
+
+
 def inventory_grids(
     lower: np.ndarray, upper: np.ndarray, num_grid_points: int
 ) -> np.ndarray:
@@ -134,9 +214,11 @@ def ratchet_rates(ratchet_inv, ratchet_min, ratchet_max, is_step: bool, inventor
     (StepInjectWithdrawConstraint.cs:72-79).
     """
     inv = jnp.clip(inventory, ratchet_inv[0], ratchet_inv[-1])
-    idx = jnp.clip(
-        jnp.searchsorted(ratchet_inv, inv, side="right") - 1, 0, ratchet_inv.shape[0] - 2
-    )
+    # Segment index by counting nodes <= inv (tables are tiny, so R vectorised
+    # compares beat searchsorted's binary-search lowering on TPU).
+    idx = jnp.zeros(jnp.shape(inv), dtype=jnp.int32)
+    for r in range(1, ratchet_inv.shape[0] - 1):
+        idx = idx + (inv >= ratchet_inv[r]).astype(jnp.int32)
     if is_step:
         return ratchet_min[idx], ratchet_max[idx]
     x0 = ratchet_inv[idx]
