@@ -60,11 +60,14 @@ def intrinsic_value(
     num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
     numerical_tolerance: float = 1e-12,
     dtype=jnp.float32,
+    interpolation: str = "linear",
 ) -> IntrinsicValuationResults:
     """Intrinsic valuation (reference ``intrinsic.py:42-111``).
 
     ``numerical_tolerance`` is accepted for API parity; the branchless device
     kernels snap constrained decisions without a tolerance parameter.
+    ``interpolation``: 'linear' (default) or 'cubic' (natural cubic spline in
+    inventory, the reference's alternative interpolator factory).
     """
     del numerical_tolerance
     storage = cmdty_storage
@@ -98,6 +101,7 @@ def intrinsic_value(
         inputs.inventory_upper,
         num_grid_points=num_inventory_grid_points,
         dtype=dtype,
+        interpolation=interpolation,
     )
     profile = profile_data_frame(
         inputs.periods,
@@ -172,7 +176,7 @@ def trinomial_value(
         time_step,
     )
     offset = (inputs.periods[0] - val_period).n
-    result = tree_engine.tree_valuation(
+    result, _arrays, _tree_arrays = tree_engine.tree_valuation(
         inputs.compiled,
         tree,
         offset,

@@ -66,14 +66,27 @@ def _step_inputs(c: tp.Dict[str, jnp.ndarray], t_slice):
     return {k: v[t_slice] for k, v in c.items()}
 
 
-@partial(jax.jit, static_argnames=("num_extra_decisions", "terminal_fn", "ratchet_is_step"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_extra_decisions", "terminal_fn", "ratchet_is_step", "interpolation"
+    ),
+)
 def _intrinsic_core(
     arrays: tp.Dict[str, jnp.ndarray],
     starting_inventory,
     num_extra_decisions: int,
     terminal_fn,
     ratchet_is_step: bool,
+    interpolation: str = "linear",
 ):
+    if interpolation not in ("linear", "cubic"):
+        raise ValueError("interpolation must be 'linear' or 'cubic'.")
+    cubic_solver = (
+        interp.natural_cubic_solver(arrays["grids"].shape[1])
+        if interpolation == "cubic"
+        else None
+    )
     grids = arrays["grids"]  # [N+1, G]
     fwd = arrays["fwd"]  # [N+1]
     lower = arrays["lower"]  # [N+1]
@@ -135,7 +148,18 @@ def _intrinsic_core(
         )
         loss = x["loss_pcnt"] * inventory
         inv_after = inventory[..., None] + decisions - loss[..., None]
-        continuation = interp.interp_vector(x["grid_next"], v_next_grid, inv_after)
+        if interpolation == "cubic":
+            # Natural cubic spline in inventory — the reference's alternative
+            # interpolator (documented as occasionally ill-behaved,
+            # IntrinsicStorageValuationExtensions.cs:127-139).
+            moments = interp.cubic_moments(
+                x["grid_next"], v_next_grid, cubic_solver.astype(v_next_grid.dtype)
+            )
+            continuation = interp.interp_vector_cubic(
+                x["grid_next"], v_next_grid, moments, inv_after
+            )
+        else:
+            continuation = interp.interp_vector(x["grid_next"], v_next_grid, inv_after)
         total = pv + continuation
         best = jnp.argmax(total, axis=-1)
         take = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
@@ -204,6 +228,7 @@ def intrinsic_valuation(
     num_grid_points: int = 100,
     num_extra_decisions: int = 0,
     dtype=jnp.float32,
+    interpolation: str = "linear",
 ) -> IntrinsicEngineResult:
     """Run the intrinsic DP.  Inputs are host arrays from the precompute stage."""
     grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
@@ -231,4 +256,5 @@ def intrinsic_valuation(
         num_extra_decisions,
         terminal_fn,
         compiled.ratchet_is_step,
+        interpolation,
     )

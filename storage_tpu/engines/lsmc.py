@@ -516,6 +516,68 @@ def lsmc_core(
     return result
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
+        "ratchet_is_step", "axis_name",
+    ),
+)
+def lsmc_npv_and_ad_deltas(
+    arrays: tp.Dict[str, jnp.ndarray],
+    stoch_reg: jnp.ndarray,  # [N+1, S] spot / forward (stochastic part)
+    factors_reg: jnp.ndarray,
+    stoch_val: jnp.ndarray,
+    factors_val: jnp.ndarray,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str] = None,
+):
+    """NPV and deltas by automatic differentiation through the whole valuation.
+
+    The pathwise assumption of the reference (spot = forward x stochastic
+    factor, LsmcStorageValuation.cs:514-517) is made explicit: the simulated
+    spot is reconstructed as ``fwd[t] * stoch[t]`` inside the differentiated
+    graph, and d(NPV)/d(fwd) is one reverse-mode sweep.  The bang-bang argmax
+    policy is almost-everywhere constant, so AD yields the envelope-theorem
+    gradient — the same estimator as the reference's hand-derived pathwise
+    formula, but extended to ratchet/constraint feedback for free.  Returns
+    (npv, deltas [N+1]) with deltas undiscounted unless ``discount_deltas``
+    (delta scaling mirrors the pathwise series: last entry 0).
+    """
+
+    def npv_of_fwd(fwd):
+        arr = dict(arrays)
+        arr["fwd"] = fwd
+        spot_reg = fwd[:, None] * stoch_reg
+        spot_val = fwd[:, None] * stoch_val
+        result = lsmc_core(
+            arr, spot_reg, factors_reg, spot_val, factors_val,
+            starting_inventory, monomials, num_extra_decisions, False,
+            terminal_fn, ratchet_is_step, axis_name=axis_name,
+            return_sim_data=False,
+        )
+        return result["npv"]
+
+    fwd = arrays["fwd"]
+    npv, grad_fwd = jax.value_and_grad(npv_of_fwd)(fwd)
+    if discount_deltas:
+        n = fwd.shape[0] - 1
+        df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
+        # value_and_grad discounts to valuation date already; the reference's
+        # DiscountDeltas=False divides the discount back out.
+        deltas = grad_fwd
+        del n, df
+    else:
+        df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
+        deltas = grad_fwd / df
+    return npv, deltas
+
+
 def build_engine_arrays(
     compiled: CompiledStorage,
     fwd: np.ndarray,

@@ -26,6 +26,18 @@ from .intrinsic import immediate_pv
 
 class TreeEngineResult(tp.NamedTuple):
     npv: jnp.ndarray
+    values: tp.Optional[jnp.ndarray] = None  # [N+1, M, G] when collected
+
+
+class TreeSimulationResult(tp.NamedTuple):
+    """Decisions simulated along one path of branch choices (analog of
+    ``TreeStorageValuation.SimulateDecisions``, TreeStorageValuation.cs:344-433)."""
+
+    npv: jnp.ndarray
+    decisions: jnp.ndarray  # [N]
+    cmdty_consumed: jnp.ndarray  # [N]
+    inventory: jnp.ndarray  # [N] inventory after each decision
+    node_path: jnp.ndarray  # [N+1] node level visited per period
 
 
 @partial(jax.jit, static_argnames=("num_extra_decisions", "terminal_fn", "ratchet_is_step"))
@@ -111,13 +123,14 @@ def _tree_core(
             ev
         )  # [M, G, D]
         value = jnp.max(pv + cont, axis=-1)  # [M, G]
-        return value, None
+        return value, value
 
-    v0, _ = jax.lax.scan(backward_step, v_end, per_step, reverse=True)
+    v0, collected = jax.lax.scan(backward_step, v_end, per_step, reverse=True)
     # NPV = Σ_nodes q_0 x value at the single known starting inventory
     # (grid[0] is degenerate) — TreeStorageValuation.cs:272-280.
     npv = jnp.sum(tree["q0"] * v0[:, 0])
-    return TreeEngineResult(npv=npv)
+    values = jnp.concatenate([collected, v_end[None]], axis=0)  # [N+1, M, G]
+    return TreeEngineResult(npv=npv, values=values)
 
 
 def tree_valuation(
@@ -159,6 +172,7 @@ def tree_valuation(
         "spot": jnp.asarray(tree.spot[o : o + num_periods], dtype),
         "transition": jnp.asarray(tree.transition[o : o + num_periods - 1], dtype),
         "q0": jnp.asarray(tree.q[o], dtype),
+        "dest_centre": jnp.asarray(tree.dest_centre),
     }
     terminal_fn = None if compiled.must_be_empty_at_end else compiled.terminal_value
     return _tree_core(
@@ -168,4 +182,96 @@ def tree_valuation(
         num_extra_decisions,
         terminal_fn,
         compiled.ratchet_is_step,
+    ), arrays, tree_arrays
+
+
+@partial(jax.jit, static_argnames=("num_extra_decisions", "terminal_fn", "ratchet_is_step"))
+def simulate_tree_decisions(
+    arrays: tp.Dict[str, jnp.ndarray],
+    tree: tp.Dict[str, jnp.ndarray],
+    values: jnp.ndarray,  # [N+1, M, G] from the valuation
+    transition_path: jnp.ndarray,  # [N] branch indices in {0, 1, 2}
+    starting_inventory,
+    num_extra_decisions: int,
+    terminal_fn,
+    ratchet_is_step: bool,
+) -> TreeSimulationResult:
+    """Follow a path of branch choices through the tree, at each period taking
+    the DP-optimal decision given the visited node and current inventory
+    (TreeStorageValuation.cs:344-433)."""
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    m = tree["spot"].shape[1]
+    dtype = grids.dtype
+    num_decisions = 2 * num_extra_decisions + 3
+
+    per_step = {
+        "grid_next": grids[1:],
+        "next_min": arrays["lower"][1:],
+        "next_max": arrays["upper"][1:],
+        "df_settle": arrays["df_settle"],
+        "df_flow": arrays["df_flow"],
+        "inj_cost": arrays["inj_cost"],
+        "wdr_cost": arrays["wdr_cost"],
+        "inj_pcnt": arrays["inj_pcnt"],
+        "wdr_pcnt": arrays["wdr_pcnt"],
+        "loss_pcnt": arrays["loss_pcnt"],
+        "inv_cost_rate": arrays["inv_cost_rate"],
+        "ratchet_inv": arrays["ratchet_inv"],
+        "ratchet_min": arrays["ratchet_min"],
+        "ratchet_max": arrays["ratchet_max"],
+        "spot": tree["spot"][:n],
+        "transition": tree["transition"][:n],
+        "v_next": values[1:],  # [N, M, G]
+        "branch": transition_path,
+    }
+
+    def step(carry, x):
+        node, inventory, npv = carry
+        spot = x["spot"][node]
+        ev = jnp.dot(
+            x["transition"][node], x["v_next"],
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [G] expected continuation over branch outcomes
+        min_rate, max_rate = gridmod.ratchet_rates(
+            x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"], ratchet_is_step, inventory
+        )
+        decisions = gridmod.bang_bang_decisions(
+            min_rate, max_rate, inventory, x["loss_pcnt"], x["next_min"], x["next_max"],
+            num_extra_decisions,
+        )  # [D]
+        pv, consumed = immediate_pv(
+            decisions, inventory, spot, x["df_settle"], x["df_flow"], x["inj_cost"],
+            x["wdr_cost"], x["inj_pcnt"], x["wdr_pcnt"], x["inv_cost_rate"],
+        )
+        loss = x["loss_pcnt"] * inventory
+        inv_after = inventory + decisions - loss
+        cont = interp.interp_vector(x["grid_next"], ev, inv_after)
+        best = jnp.argmax(pv + cont, axis=-1)
+        onehot = (best == jnp.arange(num_decisions)).astype(dtype)
+        opt_pv = jnp.sum(pv * onehot)
+        opt_decision = jnp.sum(decisions * onehot)
+        opt_consumed = jnp.sum(consumed * onehot)
+        new_inventory = inventory + opt_decision - loss
+        # Node evolution along the chosen branch: centre destination +/- 1.
+        dest = jnp.take(tree["dest_centre"], node) + x["branch"] - 1
+        new_node = jnp.clip(dest, 0, m - 1)
+        return (new_node, new_inventory, npv + opt_pv), (
+            opt_decision, opt_consumed, new_inventory, new_node,
+        )
+
+    node0 = jnp.asarray(m // 2)
+    inv0 = jnp.asarray(starting_inventory, dtype)
+    (final_node, final_inv, npv), (decisions, consumed, inventory, nodes) = jax.lax.scan(
+        step, (node0, inv0, jnp.zeros((), dtype)), per_step
+    )
+    if terminal_fn is not None:
+        npv = npv + jnp.asarray(terminal_fn(tree["spot"][n][final_node], final_inv), dtype)
+    return TreeSimulationResult(
+        npv=npv,
+        decisions=decisions,
+        cmdty_consumed=consumed,
+        inventory=inventory,
+        node_path=jnp.concatenate([node0[None], nodes]),
     )

@@ -40,6 +40,7 @@ class TrinomialTree(tp.NamedTuple):
     q: np.ndarray  # [P, M]
     transition: np.ndarray  # [P-1, M, M]
     theta: np.ndarray  # [P]
+    dest_centre: np.ndarray  # [M] centre destination level after one period
 
 
 def _substep_transition(decay: float, step_var: float, dx: float, j_max: int) -> np.ndarray:
@@ -109,7 +110,14 @@ def build_tree(
         expected = float(q[k] @ np.exp(spot_vols[k] * x))
         theta[k] = math.log(forward_prices[k]) - math.log(expected)
         spot[k] = np.exp(theta[k] + spot_vols[k] * x)
-    return TrinomialTree(x=x, spot=spot, q=q, transition=transition, theta=theta)
+    # Centre destination after one full period of mean reversion (for the
+    # decision simulator's branch-path semantics).
+    period_decay = math.exp(-a * dt) if a > 0 else 1.0
+    dest_centre = np.clip(
+        np.round(x * period_decay / dx).astype(np.int64) + j_max, 1, m - 2
+    ) if m > 2 else np.zeros(m, dtype=np.int64)
+    return TrinomialTree(x=x, spot=spot, q=q, transition=transition, theta=theta,
+                         dest_centre=dest_centre)
 
 
 def build_intrinsic_tree(forward_prices: np.ndarray) -> TrinomialTree:
@@ -123,4 +131,5 @@ def build_intrinsic_tree(forward_prices: np.ndarray) -> TrinomialTree:
         q=np.ones((p, 1)),
         transition=np.ones((max(p - 1, 0), 1, 1)),
         theta=np.log(spot[:, 0]),
+        dest_centre=np.zeros(1, dtype=np.int64),
     )

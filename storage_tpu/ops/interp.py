@@ -76,3 +76,57 @@ def interp_vector(grid, values, x):
     lo_vals = values[idx_lo]
     hi_vals = values[idx_lo + 1]
     return lo_vals + (hi_vals - lo_vals) * w_hi
+
+
+def natural_cubic_solver(num_points: int) -> jnp.ndarray:
+    """Inverse of the natural-cubic-spline tridiagonal system for a uniform
+    grid of ``num_points`` nodes: interior second-derivative moments satisfy
+    M_{i-1} + 4 M_i + M_{i+1} = rhs_i.  Precomputed once per grid size (the
+    matrix is constant), applied as a small matmul inside scans."""
+    import numpy as np
+
+    n = num_points - 2
+    if n <= 0:
+        return jnp.zeros((0, 0))
+    t = np.zeros((n, n))
+    for i in range(n):
+        t[i, i] = 4.0
+        if i > 0:
+            t[i, i - 1] = 1.0
+        if i + 1 < n:
+            t[i, i + 1] = 1.0
+    return jnp.asarray(np.linalg.inv(t))
+
+
+def cubic_moments(grid, values, solver):
+    """Second-derivative moments [G] of the natural cubic spline through
+    (grid, values) on a uniform grid; ``solver`` from natural_cubic_solver(G).
+    Degenerate grids yield zero moments (spline collapses to linear)."""
+    g = grid.shape[0]
+    h = (grid[g - 1] - grid[0]) / (g - 1)
+    safe_h = jnp.where(h > 0, h, 1.0)
+    rhs = 6.0 * (values[2:] - 2.0 * values[1:-1] + values[:-2]) / (safe_h * safe_h)
+    interior = jnp.where(
+        h > 0,
+        jnp.dot(solver, rhs, precision=jax.lax.Precision.HIGHEST),
+        jnp.zeros_like(rhs),
+    )
+    zero = jnp.zeros((1,), values.dtype)
+    return jnp.concatenate([zero, interior, zero])
+
+
+def interp_vector_cubic(grid, values, moments, x):
+    """Natural-cubic-spline evaluation of ``values`` [G] at ``x`` [...]
+    (clamped); the reference's NaturalCubicSplineInterpolatorFactory analog
+    (InterpolatorFactories/IInterpolatorFactory.cs:33-37)."""
+    g = grid.shape[0]
+    h = (grid[g - 1] - grid[0]) / (g - 1)
+    idx_lo, t = interp_weights(grid, x)
+    v_lo = values[idx_lo]
+    v_hi = values[idx_lo + 1]
+    m_lo = moments[idx_lo]
+    m_hi = moments[idx_lo + 1]
+    u = 1.0 - t
+    linear = v_lo * u + v_hi * t
+    curvature = (h * h / 6.0) * ((u * u * u - u) * m_lo + (t * t * t - t) * m_hi)
+    return linear + jnp.where(h > 0, curvature, 0.0)

@@ -302,6 +302,60 @@ class TestBehaviouralInvariants:
         )
         assert res.npv == pytest.approx(res.intrinsic_npv, rel=1e-4)
 
+    def test_ad_deltas_match_pathwise_deltas(self):
+        """Reverse-mode AD through the full valuation graph reproduces the
+        hand-derived pathwise delta estimator (envelope theorem: the bang-bang
+        argmax contributes zero gradient a.e.)."""
+        import jax
+
+        from storage_tpu.basis import parse_basis_functions
+        from storage_tpu.engines import lsmc as lsmc_engine
+        from storage_tpu.models import multi_factor as mf
+        from storage_tpu.models.spot_sim import simulate_ou_paths
+        from storage_tpu.parallel.mesh import sim_inputs_from_precompute
+        from storage_tpu.valuation_inputs import prepare_valuation
+
+        val_date, fwd, rates, settle = reg_market()
+        storage = simple_reg_storage()
+        inputs = prepare_valuation(storage, val_date, 0.0, fwd, rates, settle)
+        vol_idx = pd.period_range(val_date, "2020-06-01", freq="D")
+        pre = mf.simulation_precompute(
+            [(8.0, pd.Series(index=vol_idx, data=0.7))], None, inputs.val_day,
+            list(inputs.periods), "D",
+        )
+        sim_inputs = sim_inputs_from_precompute(pre, inputs.fwd, F64)
+        monomials = tuple(parse_basis_functions("1 + x0 + x0**2 + s"))
+        arrays = lsmc_engine.build_engine_arrays(
+            inputs.compiled, inputs.fwd, inputs.df_settle, inputs.df_flow,
+            inputs.inventory_lower, inputs.inventory_upper, 40, F64,
+        )
+        reg = simulate_ou_paths(
+            jax.random.key(5), jnp.arange(400), sim_inputs["decay"],
+            sim_inputs["chol"], sim_inputs["vols"], sim_inputs["half_var"],
+            sim_inputs["fwd"],
+        )
+        val = simulate_ou_paths(
+            jax.random.key(6), jnp.arange(400), sim_inputs["decay"],
+            sim_inputs["chol"], sim_inputs["vols"], sim_inputs["half_var"],
+            sim_inputs["fwd"],
+        )
+        pathwise = lsmc_engine.lsmc_core(
+            arrays, reg.spot, reg.factors, val.spot, val.factors,
+            jnp.asarray(0.0, F64), monomials, 0, False, None, False,
+        )
+        stoch_reg = reg.spot / arrays["fwd"][:, None]
+        stoch_val = val.spot / arrays["fwd"][:, None]
+        npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
+            arrays, stoch_reg, reg.factors, stoch_val, val.factors,
+            jnp.asarray(0.0, F64), monomials, 0, False, None, False,
+        )
+        assert float(npv_ad) == pytest.approx(float(pathwise["npv"]), rel=1e-12)
+        n = arrays["fwd"].shape[0] - 1
+        np.testing.assert_allclose(
+            np.asarray(deltas_ad)[:n], np.asarray(pathwise["deltas"])[:n],
+            rtol=1e-6, atol=1e-8,
+        )
+
     def test_extra_decisions_weakly_improve_npv(self):
         val_date, fwd, rates, settle = reg_market()
         vol_idx = pd.period_range(val_date, "2020-06-01", freq="D")
