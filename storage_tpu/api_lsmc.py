@@ -243,6 +243,7 @@ def _lsmc_calc(
     dtype,
 ) -> MultiFactorValuationResults:
     del numerical_tolerance  # API parity; device kernels are branchless
+    sim_data_returned = SimulationDataReturned.coerce(sim_data_returned)
     if isinstance(fwd_curve, pd.Series) and storage.freq != str(
         getattr(fwd_curve.index, "freqstr", storage.freq)
     ) and isinstance(fwd_curve.index, pd.PeriodIndex):

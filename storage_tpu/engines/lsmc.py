@@ -54,10 +54,24 @@ from .. import grid as gridmod
 from ..basis import Monomial, design_matrix
 from ..facility import CompiledStorage
 from ..ops import interp
+from ..ops import decision_kernel
 from ..ops.regression import column_stats, fit_continuation, predict
 from .intrinsic import immediate_pv
 
 NUM_TRIGGER_PRICE_VOLUMES = 10  # LsmcStorageValuation.cs:383
+
+
+def resolve_use_pallas(use_pallas: tp.Optional[bool], num_sims: int, dtype) -> bool:
+    """Auto-enable the fused Pallas decision kernel on TPU backends for f32
+    workloads whose local sim count tiles cleanly; anything else (CPU tests,
+    f64 validation runs, ragged path counts) keeps the pure-XLA path."""
+    if use_pallas is not None:
+        return bool(use_pallas)
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and decision_kernel.pick_sim_tile(num_sims) > 0
+    )
 
 
 class LsmcEngineResult(tp.NamedTuple):
@@ -134,6 +148,7 @@ def lsmc_backward(
     terminal_fn,
     ratchet_is_step: bool,
     axis_name: tp.Optional[str],
+    use_pallas: bool = False,
 ):
     """Backward induction.  Returns (v0 [G, S] values at the first period,
     regression payload dict of stacked per-step arrays [N, ...])."""
@@ -194,35 +209,53 @@ def lsmc_backward(
 
         # Regressed continuation at every (grid, decision) target inventory:
         # interpolate in coefficient space (linear interp commutes with the
-        # linear model), then one [S,B]x[B,G*D] matmul — replaces a per-decision
-        # gather+lerp over [G, S] fitted values.
+        # linear model) — replaces a per-decision gather+lerp over [G, S]
+        # fitted values.
         ci = (
             coeffs[:, idx_lo] * (1 - w_hi) + coeffs[:, idx_lo + 1] * w_hi
         )  # [B, G, D]
-        pred = jnp.einsum(
-            "sb,bgd->gds", dm_std, ci, precision=jax.lax.Precision.HIGH
-        )  # [G, D, S]
 
         a, b, _consumed = _decision_cashflow_coeffs(decisions, x)  # [G, D]
         inv_cost_npv = x["inv_cost_rate"] * grid_t * x["df_flow"]  # [G]
         b = b - inv_cost_npv[:, None]
 
         spot = x["spot"]  # [S]
-        neg_inf = jnp.asarray(-jnp.inf, grid_t.dtype)
-        best_reg = jnp.full((grid_t.shape[0], spot.shape[0]), neg_inf)
-        best_act = jnp.zeros_like(best_reg)
+        if use_pallas:
+            # Fused VMEM-resident decision update: no [G, D, S] HBM temporaries.
+            g_next = x["grid_next"].shape[0]
+            w_mat = decision_kernel.interp_weight_matrix(
+                idx_lo, w_hi, g_next, coeffs.dtype
+            )  # [D, G, G_next]
+            best_act = decision_kernel.decision_update_pallas(
+                v_act_next, dm_std.T, spot,
+                w_mat, jnp.transpose(ci, (2, 1, 0)), a.T, b.T,
+                sim_tile=decision_kernel.pick_sim_tile(spot.shape[0]),
+            )
+            return best_act, {"mean": mean, "std": std, "coeffs": coeffs}
+
+        pred = jnp.einsum(
+            "sb,bgd->gds", dm_std, ci, precision=jax.lax.Precision.HIGH
+        )  # [G, D, S]
+        best_reg = None
+        best_act = None
         # Unrolled loop over the (small, static) decision axis: running argmax on
         # regressed values, realising actual values (the anti-foresight trick,
         # LsmcStorageValuation.cs:327-335) without materialising [G, D, S] twice.
+        # Initialising from decision 0 (not -inf) keeps ties/non-finite
+        # comparisons on the first decision, matching the Pallas kernel.
         for d in range(num_decisions):
             lo = idx_lo[:, d]
             w = w_hi[:, d][:, None]
             c_act_d = v_act_next[lo] * (1 - w) + v_act_next[lo + 1] * w  # [G, S]
             imm = a[:, d][:, None] * spot[None, :] + b[:, d][:, None]
             val_reg = imm + pred[:, d, :]
-            better = val_reg > best_reg
-            best_reg = jnp.where(better, val_reg, best_reg)
-            best_act = jnp.where(better, imm + c_act_d, best_act)
+            val_act = imm + c_act_d
+            if d == 0:
+                best_reg, best_act = val_reg, val_act
+            else:
+                better = val_reg > best_reg
+                best_reg = jnp.where(better, val_reg, best_reg)
+                best_act = jnp.where(better, val_act, best_act)
         return best_act, {"mean": mean, "std": std, "coeffs": coeffs}
 
     v0, regression = jax.lax.scan(backward_step, v_end, per_step, reverse=True)
@@ -484,6 +517,7 @@ def lsmc_forward(
         "ratchet_is_step",
         "axis_name",
         "return_sim_data",
+        "use_pallas",
     ),
 )
 def lsmc_core(
@@ -500,10 +534,11 @@ def lsmc_core(
     ratchet_is_step: bool,
     axis_name: tp.Optional[str] = None,
     return_sim_data: bool = False,
+    use_pallas: bool = False,
 ) -> tp.Dict[str, jnp.ndarray]:
     v0, regression = lsmc_backward(
         arrays, spot_reg, factors_reg, monomials, num_extra_decisions, terminal_fn,
-        ratchet_is_step, axis_name,
+        ratchet_is_step, axis_name, use_pallas=use_pallas,
     )
     result = lsmc_forward(
         arrays, spot_val, factors_val, regression, starting_inventory, monomials,

@@ -54,7 +54,7 @@ def fit_continuation(
     x_std,
     y,
     axis_name: tp.Optional[str] = None,
-    ridge: float = 1e-7,
+    ridge: tp.Optional[float] = None,
 ):
     """Regression coefficients for standardised design matrix.
 
@@ -63,7 +63,16 @@ def fit_continuation(
     by mean(diag(M)) to keep the solve well-posed under exactly collinear bases
     (the reference QR simply fails there — README.md:747-751 notes QR dominates
     its runtime; here the [B,B] solve is negligible next to the [B,S] matmuls).
+
+    Near the valuation date the simulated spot is an almost-deterministic
+    function of the factors, so the sample correlation of the basis columns is
+    singular to within f32 resolution; the default ridge is therefore larger in
+    f32 (1e-5) than f64 (1e-7), and a failed Cholesky (non-finite coefficients)
+    falls back to the projection on the constant column — the cross-sim mean —
+    instead of poisoning the backward scan with NaNs.
     """
+    if ridge is None:
+        ridge = 1e-5 if x_std.dtype == jnp.float32 else 1e-7
     # precision=HIGHEST: TPU matmuls default to bf16 operand precision, which
     # is too coarse for the normal-equation moments that set decision quality.
     m = _psum(
@@ -86,7 +95,12 @@ def fit_continuation(
     jitter = ridge * jnp.trace(m) / b
     m = m + jitter * jnp.eye(b, dtype=m.dtype)
     chol, lower = jax.scipy.linalg.cho_factor(m, lower=True)
-    return jax.scipy.linalg.cho_solve((chol, lower), xty)
+    coeffs = jax.scipy.linalg.cho_solve((chol, lower), xty)
+    # m[0, 0] is the constant column's sum of squares = the global sim count.
+    mean_y = xty[0:1] / m[0, 0]
+    fallback = jnp.concatenate([mean_y, jnp.zeros_like(xty[1:])], axis=0)
+    solve_failed = ~jnp.all(jnp.isfinite(coeffs))
+    return jnp.where(solve_failed, fallback, coeffs)
 
 
 def predict(x_std, coeffs):

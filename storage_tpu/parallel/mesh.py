@@ -53,7 +53,7 @@ def pad_num_sims(num_sims: int, num_devices: int) -> int:
     static_argnames=(
         "mesh", "s_local", "monomials", "num_extra_decisions", "discount_deltas",
         "terminal_fn", "ratchet_is_step", "antithetic", "same_sims",
-        "return_sim_data",
+        "return_sim_data", "use_pallas",
     ),
 )
 def _sharded_lsmc_jit(
@@ -73,6 +73,7 @@ def _sharded_lsmc_jit(
     antithetic: bool,
     same_sims: bool,
     return_sim_data: bool,
+    use_pallas: bool,
 ):
     def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
         shard = jax.lax.axis_index(AXIS)
@@ -94,6 +95,7 @@ def _sharded_lsmc_jit(
             arrays, reg.spot, reg.factors, val.spot, val.factors, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
+            use_pallas=use_pallas,
         )
 
     # Reduced outputs are identical on every shard; per-sim panels keep their
@@ -142,6 +144,7 @@ def sharded_lsmc_core(
     antithetic: bool = False,
     same_sims: bool = False,
     return_sim_data: bool = False,
+    use_pallas: tp.Optional[bool] = None,
 ):
     """LSMC with paths sharded over ``mesh``; returns the engine result dict
     with reduced outputs replicated and per-sim panels path-sharded.
@@ -167,6 +170,9 @@ def sharded_lsmc_core(
         terminal_fn=terminal_fn, ratchet_is_step=ratchet_is_step,
         antithetic=antithetic, same_sims=same_sims,
         return_sim_data=return_sim_data,
+        use_pallas=lsmc_engine.resolve_use_pallas(
+            use_pallas, s_local, arrays["grids"].dtype
+        ),
     )
 
 

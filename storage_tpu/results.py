@@ -37,6 +37,30 @@ class SimulationDataReturned(enum.Flag):
         | PV
     )
 
+    @classmethod
+    def coerce(cls, value) -> "SimulationDataReturned":
+        """Accept a flag, a member-name string (``"all"``, ``"none"``,
+        ``"spot_regress|pv"``), or None (-> ALL, the reference default)."""
+        if value is None:
+            return cls.ALL
+        if isinstance(value, cls):
+            return value
+        if isinstance(value, str):
+            result = cls.NONE
+            for part in value.split("|"):
+                name = part.strip().upper()
+                if name not in cls.__members__:
+                    raise ValueError(
+                        f"Unknown SimulationDataReturned flag {part!r}; expected "
+                        f"one of {sorted(cls.__members__)}."
+                    )
+                result |= cls[name]
+            return result
+        raise TypeError(
+            "sim_data_returned must be a SimulationDataReturned flag or string, "
+            f"got {type(value).__name__}."
+        )
+
 
 class TriggerPricePoint(tp.NamedTuple):
     volume: float

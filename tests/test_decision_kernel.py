@@ -1,0 +1,108 @@
+"""Fused Pallas decision-update kernel: interpret-mode equivalence on CPU.
+
+The kernel (ops/decision_kernel.py) must reproduce the pure-XLA backward
+decision update exactly (same anti-foresight argmax, first decision wins
+ties) — the TPU production path is validated statistically on hardware, the
+kernel *logic* is pinned here via ``interpret=True``.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from storage_tpu.ops import decision_kernel
+from storage_tpu.ops.interp import interp_weights
+
+
+def _reference_update(v_act_next, dm_std, spot, grid_next, idx_lo, w_hi, ci, a, b):
+    """The XLA path of lsmc_backward's decision loop, shapes as in the engine."""
+    num_decisions = a.shape[1]
+    pred = jnp.einsum("sb,bgd->gds", dm_std, ci)
+    best_reg = best_act = None
+    for d in range(num_decisions):
+        lo = idx_lo[:, d]
+        w = w_hi[:, d][:, None]
+        c_act_d = v_act_next[lo] * (1 - w) + v_act_next[lo + 1] * w
+        imm = a[:, d][:, None] * spot[None, :] + b[:, d][:, None]
+        val_reg = imm + pred[:, d, :]
+        val_act = imm + c_act_d
+        if d == 0:
+            best_reg, best_act = val_reg, val_act
+        else:
+            better = val_reg > best_reg
+            best_reg = jnp.where(better, val_reg, best_reg)
+            best_act = jnp.where(better, val_act, best_act)
+    return best_act
+
+
+@pytest.fixture
+def case():
+    rng = np.random.default_rng(7)
+    g, s, b_dim, d = 16, 256, 5, 3
+    v_act_next = jnp.asarray(rng.normal(100.0, 30.0, (g, s)), jnp.float32)
+    dm_std = jnp.asarray(rng.normal(0.0, 1.0, (s, b_dim)), jnp.float32)
+    spot = jnp.asarray(rng.uniform(10.0, 50.0, s), jnp.float32)
+    grid_next = jnp.linspace(0.0, 1000.0, g)
+    targets = jnp.asarray(rng.uniform(-50.0, 1050.0, (g, d)), jnp.float32)
+    idx_lo, w_hi = interp_weights(grid_next.astype(jnp.float32), targets)
+    coeffs = jnp.asarray(rng.normal(0.0, 5.0, (b_dim, g)), jnp.float32)
+    ci = coeffs[:, idx_lo] * (1 - w_hi) + coeffs[:, idx_lo + 1] * w_hi  # [B, G, D]
+    a = jnp.asarray(rng.normal(0.0, 2.0, (g, d)), jnp.float32)
+    b = jnp.asarray(rng.normal(0.0, 20.0, (g, d)), jnp.float32)
+    return v_act_next, dm_std, spot, grid_next, idx_lo, w_hi, ci, a, b
+
+
+def test_interp_weight_matrix_matches_lerp(case):
+    v_act_next, _, _, grid_next, idx_lo, w_hi, _, _, _ = case
+    g = grid_next.shape[0]
+    w_mat = decision_kernel.interp_weight_matrix(idx_lo, w_hi, g, jnp.float32)
+    direct = (
+        v_act_next[idx_lo] * (1 - w_hi[..., None])
+        + v_act_next[idx_lo + 1] * w_hi[..., None]
+    )  # [G, D, S]
+    via_matmul = jnp.einsum("dgh,hs->gds", w_mat, v_act_next)
+    np.testing.assert_allclose(
+        np.asarray(via_matmul), np.asarray(direct), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_kernel_matches_xla_path(case):
+    v_act_next, dm_std, spot, grid_next, idx_lo, w_hi, ci, a, b = case
+    g = grid_next.shape[0]
+    expected = _reference_update(
+        v_act_next, dm_std, spot, grid_next, idx_lo, w_hi, ci, a, b
+    )
+    w_mat = decision_kernel.interp_weight_matrix(idx_lo, w_hi, g, jnp.float32)
+    tile = decision_kernel.pick_sim_tile(spot.shape[0])
+    assert tile > 0
+    got = decision_kernel.decision_update_pallas(
+        v_act_next, dm_std.T, spot, w_mat, jnp.transpose(ci, (2, 1, 0)),
+        a.T, b.T, sim_tile=tile, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=0.3)
+
+
+def test_pick_sim_tile():
+    assert decision_kernel.pick_sim_tile(262144) == 1024
+    assert decision_kernel.pick_sim_tile(512) == 512
+    assert decision_kernel.pick_sim_tile(384) == 128
+    assert decision_kernel.pick_sim_tile(100) == 0
+
+
+def test_fit_continuation_singular_fallback():
+    """A singular design matrix (duplicate columns, zero ridge) must fall back
+    to the cross-sim mean instead of returning NaN coefficients — the failure
+    that silently zeroed the value function at large sim counts."""
+    from storage_tpu.ops.regression import fit_continuation
+
+    s, g = 64, 4
+    rng = np.random.default_rng(3)
+    col = rng.normal(0.0, 1.0, s)
+    x = jnp.asarray(np.stack([np.ones(s), col, col], axis=1))  # exactly collinear
+    y = jnp.asarray(rng.normal(50.0, 10.0, (s, g)))
+    coeffs = fit_continuation(x, y, ridge=0.0)
+    assert bool(jnp.all(jnp.isfinite(coeffs)))
+    np.testing.assert_allclose(
+        np.asarray(coeffs[0]), np.asarray(y.mean(axis=0)), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(coeffs[1:]), 0.0, atol=1e-12)
