@@ -21,7 +21,26 @@ from .api_lsmc import (
     multi_factor_value,
     value_from_sims,
 )
-from .basis import parse_basis_functions
+from .basis import (
+    parse_basis_functions,
+    BasisFunctionList,
+    MonomialBuilder,
+    ONE,
+    S,
+    X,
+    X0, X1, X2, X3, X4, X5, X6, X7, X8, X9,
+    X_ST, X_LT, X_SW,
+    spot_price_power,
+    markov_factor_power,
+)
+from .lsmc_params import (
+    LsmcValuationParameters,
+    LsmcValuationParametersBuilder,
+    MultiFactorSimSpec,
+    PanelSimSpec,
+    lsmc_value,
+)
+from .jobs import Job, JobCancelledError, JobControl, JobStatus, ValuationJobEngine
 from .models.multi_factor import MultiFactorModel
 from .models.spot_sim import MultiFactorSpotSim
 from .results import (
@@ -52,5 +71,22 @@ __all__ = [
     "TriggerPricePoint",
     "TriggerPriceProfile",
     "parse_basis_functions",
+    "BasisFunctionList",
+    "MonomialBuilder",
+    "ONE", "S", "X",
+    "X0", "X1", "X2", "X3", "X4", "X5", "X6", "X7", "X8", "X9",
+    "X_ST", "X_LT", "X_SW",
+    "spot_price_power",
+    "markov_factor_power",
+    "LsmcValuationParameters",
+    "LsmcValuationParametersBuilder",
+    "MultiFactorSimSpec",
+    "PanelSimSpec",
+    "lsmc_value",
+    "Job",
+    "JobCancelledError",
+    "JobControl",
+    "JobStatus",
+    "ValuationJobEngine",
     "__version__",
 ]

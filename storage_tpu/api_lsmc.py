@@ -31,6 +31,8 @@ from .engines import lsmc as lsmc_engine
 from .facility import CmdtyStorage
 from .models import multi_factor as mf
 from .models.spot_sim import simulate_ou_paths
+from .parallel.mesh import lsmc_core_from_sims
+from .profiling import Stopwatches
 from .results import (
     MultiFactorValuationResults,
     SimulationDataReturned,
@@ -115,6 +117,7 @@ def multi_factor_value(
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
     dtype=jnp.float32,
     antithetic: bool = False,
+    cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
 ) -> MultiFactorValuationResults:
     """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``)."""
     factor_corrs = mf.validate_multi_factor_params(factors, factor_corrs)
@@ -152,6 +155,7 @@ def multi_factor_value(
         settlement_rule, sims_provider, basis_funcs, discount_deltas,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
+        cancellation_poll=cancellation_poll,
     )
 
 
@@ -174,6 +178,7 @@ def value_from_sims(
     on_progress_update: ProgressCallback = None,
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
     dtype=jnp.float32,
+    cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
 ) -> MultiFactorValuationResults:
     """Valuation from user-supplied spot/factor simulations (reference
     ``multi_factor.py:171-208`` / ``SpotSimResultsFromPanels.cs:36-117``).
@@ -196,6 +201,7 @@ def value_from_sims(
         settlement_rule, sims_provider, basis_funcs, discount_deltas,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
+        cancellation_poll=cancellation_poll,
     )
 
 
@@ -241,6 +247,7 @@ def _lsmc_calc(
     on_progress_update: ProgressCallback,
     sim_data_returned: SimulationDataReturned,
     dtype,
+    cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
 ) -> MultiFactorValuationResults:
     del numerical_tolerance  # API parity; device kernels are branchless
     sim_data_returned = SimulationDataReturned.coerce(sim_data_returned)
@@ -250,16 +257,26 @@ def _lsmc_calc(
         raise ValueError("cmdty_storage and forward_curve have different frequencies.")
 
     def progress(x: float):
+        # Cooperative cancellation, polled at phase boundaries (the analog of
+        # the reference's per-step CancellationToken checks,
+        # LsmcStorageValuation.cs:345,521 — device scans cannot poll Python).
+        if cancellation_poll is not None and cancellation_poll():
+            from .jobs import JobCancelledError
+
+            raise JobCancelledError("Valuation cancelled.")
         if on_progress_update is not None:
             on_progress_update(x)
 
-    monomials = tuple(basis_mod.parse_basis_functions(basis_funcs))
-    inputs = prepare_valuation(
-        storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule
-    )
+    monomials = tuple(basis_mod.coerce_basis_functions(basis_funcs))
+    stopwatches = Stopwatches()
+    with stopwatches.time("prepare_inputs"):
+        inputs = prepare_valuation(
+            storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule
+        )
 
     logger.info("Simulating price paths.")
-    (spot_reg, factors_reg), (spot_val, factors_val) = sims_provider(inputs)
+    with stopwatches.time("path_simulation"):
+        (spot_reg, factors_reg), (spot_val, factors_val) = sims_provider(inputs)
     num_factors_needed = basis_mod.num_factors_required(monomials)
     if num_factors_needed > factors_reg.shape[1]:
         raise ValueError(
@@ -269,11 +286,12 @@ def _lsmc_calc(
     progress(0.2)
 
     logger.info("Calculating intrinsic value.")
-    intrinsic_res = intrinsic_engine.intrinsic_valuation(
-        inputs.compiled, inputs.starting_inventory, inputs.fwd, inputs.df_settle,
-        inputs.df_flow, inputs.inventory_lower, inputs.inventory_upper,
-        num_grid_points=num_grid_points, dtype=dtype,
-    )
+    with stopwatches.time("intrinsic_valuation"):
+        intrinsic_res = intrinsic_engine.intrinsic_valuation(
+            inputs.compiled, inputs.starting_inventory, inputs.fwd, inputs.df_settle,
+            inputs.df_flow, inputs.inventory_lower, inputs.inventory_upper,
+            num_grid_points=num_grid_points, dtype=dtype,
+        )
     intrinsic_profile = profile_data_frame(
         inputs.periods, intrinsic_res.inventory, intrinsic_res.inject_withdraw,
         intrinsic_res.cmdty_consumed, intrinsic_res.inventory_loss,
@@ -298,14 +316,15 @@ def _lsmc_calc(
             | SimulationDataReturned.PV
         )
     )
-    result = lsmc_engine.lsmc_core(
-        arrays, spot_reg, factors_reg, spot_val, factors_val,
-        jnp.asarray(inputs.starting_inventory, dtype),
-        monomials, int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
-        inputs.compiled.ratchet_is_step, axis_name=None,
-        return_sim_data=wants_sim_data,
-    )
-    result = {k: np.asarray(v) for k, v in result.items() if v is not None}
+    with stopwatches.time("lsmc_backward_forward"):
+        result = lsmc_core_from_sims(
+            arrays, spot_reg, factors_reg, spot_val, factors_val,
+            inputs.starting_inventory,
+            monomials, int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
+            inputs.compiled.ratchet_is_step,
+            return_sim_data=wants_sim_data,
+        )
+        result = {k: np.asarray(v) for k, v in result.items() if v is not None}
     logger.info(
         "LSMC complete. Forward NPV %.2f (backward %.2f).",
         result["npv"], result["backward_npv"],
@@ -391,5 +410,6 @@ def _lsmc_calc(
         trigger_prices=trigger_prices,
         trigger_profiles=trigger_profiles,
     )
+    logger.info("LSMC phase profile:\n%s", stopwatches.report())
     progress(1.0)
     return out

@@ -129,3 +129,122 @@ def design_matrix(monomials: tp.Sequence[Monomial], spot, factors):
             col = col * _ipow(factors[idx], p)
         cols.append(col)
     return jnp.stack(cols, axis=-1)
+
+
+# --------------------------------------------------------------- combinators
+#
+# Pythonic analog of the reference's operator-overloaded basis-function
+# combinators (BasisFunctions/Sim.cs:30-40, PowerMonomialBuilder.cs:44-59,
+# BasisFunctions.cs:34-92): build monomials with `*` / `**` on the `S` (spot)
+# and `X0..X9` (Markov factor) atoms, sum them with `+`:
+#
+#     basis = ONE + S + S**2 + X0 + X0**2 + S * X1
+#
+# The result is a BasisFunctionList of the same Monomial descriptors the
+# string DSL produces, accepted anywhere a `basis_funcs` string is.
+
+
+class BasisFunctionList(list):
+    """A `+`-composable list of Monomials."""
+
+    def __add__(self, other):
+        return BasisFunctionList(list(self) + list(_as_monomial_list(other)))
+
+    def __radd__(self, other):
+        return BasisFunctionList(list(_as_monomial_list(other)) + list(self))
+
+
+class MonomialBuilder:
+    """One monomial under construction: supports ``*``, ``**`` and ``+``."""
+
+    __array_priority__ = 1000  # keep numpy from hijacking the operators
+
+    def __init__(self, monomial: Monomial):
+        self.monomial = monomial
+
+    def __pow__(self, power: int) -> "MonomialBuilder":
+        if not isinstance(power, int) or power < 0:
+            raise ValueError("Basis-function powers must be non-negative integers.")
+        merged: tp.Dict[int, int] = {}
+        for idx, p in self.monomial.factor_powers:
+            merged[idx] = p * power
+        return MonomialBuilder(
+            Monomial(self.monomial.spot_power * power, tuple(sorted(merged.items())))
+        )
+
+    def __mul__(self, other) -> "MonomialBuilder":
+        if isinstance(other, MonomialBuilder):
+            merged = dict(self.monomial.factor_powers)
+            for idx, p in other.monomial.factor_powers:
+                merged[idx] = merged.get(idx, 0) + p
+            return MonomialBuilder(
+                Monomial(
+                    self.monomial.spot_power + other.monomial.spot_power,
+                    tuple(sorted(merged.items())),
+                )
+            )
+        if other == 1:
+            return self
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def __add__(self, other) -> BasisFunctionList:
+        return BasisFunctionList([self.monomial]) + other
+
+    def __radd__(self, other) -> BasisFunctionList:
+        return _as_monomial_list(other) + BasisFunctionList([self.monomial])
+
+    def __repr__(self) -> str:
+        return f"MonomialBuilder({self.monomial})"
+
+
+def _as_monomial_list(value) -> BasisFunctionList:
+    if isinstance(value, BasisFunctionList):
+        return value
+    if isinstance(value, MonomialBuilder):
+        return BasisFunctionList([value.monomial])
+    if isinstance(value, Monomial):
+        return BasisFunctionList([value])
+    if value == 1:  # the constant term: `1 + S + ...`
+        return BasisFunctionList([Monomial(0, ())])
+    if isinstance(value, (list, tuple)) and all(isinstance(m, Monomial) for m in value):
+        return BasisFunctionList(list(value))
+    raise TypeError(f"Cannot use {value!r} as a basis function term.")
+
+
+ONE = MonomialBuilder(Monomial(0, ()))  # BasisFunctions.Ones (BasisFunctions.cs:34)
+S = MonomialBuilder(Monomial(1, ()))  # Sim.Spot / Sim.S (Sim.cs:30-31)
+
+
+def X(factor_index: int) -> MonomialBuilder:
+    """Markov factor atom (Sim.X0..X9, Sim.cs:32-40)."""
+    if factor_index < 0:
+        raise ValueError("Factor index must be non-negative.")
+    return MonomialBuilder(Monomial(0, ((factor_index, 1),)))
+
+
+X0, X1, X2, X3, X4, X5, X6, X7, X8, X9 = (X(i) for i in range(10))
+# 3-factor-seasonal aliases (multi_factor.py:125-126): short-term / long-term / seasonal.
+X_ST, X_LT, X_SW = X0, X1, X2
+
+
+def spot_price_power(power: int) -> MonomialBuilder:
+    """BasisFunctions.SpotPricePower (BasisFunctions.cs:48)."""
+    return S ** power
+
+
+def markov_factor_power(factor_index: int, power: int) -> MonomialBuilder:
+    """BasisFunctions.MarkovFactorPower (BasisFunctions.cs:59)."""
+    return X(factor_index) ** power
+
+
+def coerce_basis_functions(value) -> tp.List[Monomial]:
+    """Accept the string DSL, a combinator expression (`ONE + S + X0**2`), a
+    single atom, or a pre-built Monomial list; returns the Monomial list."""
+    if isinstance(value, str):
+        return parse_basis_functions(value)
+    monomials = list(_as_monomial_list(value))
+    if len(set(monomials)) < len(monomials):
+        raise ValueError("Basis function expression contains repeated monomials.")
+    return monomials

@@ -184,3 +184,103 @@ def sim_inputs_from_precompute(pre: SimulationPrecompute, fwd: np.ndarray, dtype
         "half_var": jnp.asarray(pre.half_var, dtype),
         "fwd": jnp.asarray(fwd, dtype),
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "monomials", "num_extra_decisions", "discount_deltas",
+        "terminal_fn", "ratchet_is_step", "return_sim_data", "use_pallas",
+    ),
+)
+def _sharded_from_sims_jit(
+    arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
+    *, mesh, monomials, num_extra_decisions, discount_deltas, terminal_fn,
+    ratchet_is_step, return_sim_data, use_pallas,
+):
+    def shard_fn(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0):
+        return lsmc_engine.lsmc_core(
+            arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
+            monomials, num_extra_decisions, discount_deltas, terminal_fn,
+            ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
+            use_pallas=use_pallas,
+        )
+
+    sharded_keys = {
+        "sim_inventory", "sim_inject_withdraw", "sim_cmdty_consumed",
+        "sim_inventory_loss", "sim_net_volume", "sim_pv",
+    }
+    result_keys = [
+        "npv", "standard_error", "backward_npv", "deltas", "profile_inventory",
+        "profile_inject_withdraw", "profile_cmdty_consumed",
+        "profile_inventory_loss", "profile_pv", "trigger_inject_volumes",
+        "trigger_inject_prices", "trigger_withdraw_volumes",
+        "trigger_withdraw_prices", "max_inject_volume",
+        "max_inject_trigger_price", "max_withdraw_volume",
+        "max_withdraw_trigger_price",
+    ]
+    out_specs = {k: P() for k in result_keys}
+    if return_sim_data:
+        for k in sharded_keys:
+            out_specs[k] = P(None, AXIS)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, AXIS), P(None, None, AXIS), P(None, AXIS),
+            P(None, None, AXIS), P(),
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return mapped(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0)
+
+
+def lsmc_core_from_sims(
+    arrays: tp.Dict[str, jnp.ndarray],
+    spot_reg, factors_reg, spot_val, factors_val,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    return_sim_data: bool = False,
+    use_pallas: tp.Optional[bool] = None,
+    mesh: tp.Optional[Mesh] = None,
+):
+    """LSMC over pre-simulated path panels ([N+1, S] / [N+1, F, S]), sharding
+    the sim axis across all local devices when possible (the distributed analog
+    of the reference's user-supplied-sims path, SpotSimResultsFromPanels.cs:36-117).
+
+    Falls back to single-device execution when only one device is present or
+    the sim count does not divide the mesh; results are invariant to that
+    choice up to f32 reduction-order noise.
+    """
+    num_sims = spot_reg.shape[1]
+    if mesh is None:
+        devices = jax.devices()
+        if len(devices) > 1 and num_sims % len(devices) == 0:
+            mesh = make_mesh()
+    inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
+    if mesh is None or mesh.devices.size == 1 or num_sims % mesh.devices.size != 0:
+        return lsmc_engine.lsmc_core(
+            arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
+            monomials, num_extra_decisions, discount_deltas, terminal_fn,
+            ratchet_is_step, axis_name=None, return_sim_data=return_sim_data,
+            use_pallas=lsmc_engine.resolve_use_pallas(
+                use_pallas, num_sims, arrays["grids"].dtype
+            ),
+        )
+    s_local = num_sims // mesh.devices.size
+    return _sharded_from_sims_jit(
+        arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
+        mesh=mesh, monomials=monomials,
+        num_extra_decisions=num_extra_decisions, discount_deltas=discount_deltas,
+        terminal_fn=terminal_fn, ratchet_is_step=ratchet_is_step,
+        return_sim_data=return_sim_data,
+        use_pallas=lsmc_engine.resolve_use_pallas(
+            use_pallas, s_local, arrays["grids"].dtype
+        ),
+    )

@@ -1,0 +1,152 @@
+"""LsmcValuationParameters builder, cancellation, basis combinators, and the
+device-sharded user-sims path."""
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from storage_tpu import (
+    CmdtyStorage,
+    JobCancelledError,
+    LsmcValuationParameters,
+    ONE, S, X0, X1,
+    SimulationDataReturned,
+    lsmc_value,
+    multi_factor_value,
+)
+
+F64 = jnp.float64
+
+
+def simple_storage():
+    return CmdtyStorage(
+        "D", "2019-12-01", "2020-01-10", 1.23, 0.98,
+        min_inventory=0.0, max_inventory=10_000.0,
+        max_injection_rate=700.0, max_withdrawal_rate=700.0,
+    )
+
+
+def market():
+    val_date = "2019-11-20"
+    idx = pd.period_range(val_date, "2020-01-10", freq="D")
+    fwd = pd.Series(index=idx, data=np.linspace(23.0, 28.0, len(idx)))
+    rates = pd.Series(index=pd.period_range(val_date, "2020-03-01", freq="D"), data=0.03)
+
+    def settle(period):
+        return (period.asfreq("M").asfreq("D", "end") + 20).start_time.date()
+
+    return val_date, fwd, rates, settle
+
+
+def factors_2f(val_date):
+    vol_idx = pd.period_range(val_date, "2020-03-01", freq="D")
+    return [
+        (0.0, pd.Series(index=vol_idx, data=0.14)),
+        (16.2, pd.Series(index=vol_idx.copy(), data=1.15)),
+    ]
+
+
+class TestParametersObject:
+    def _params_builder(self, num_sims=256, basis="1 + x0 + x0**2 + x1 + x1*x1"):
+        val_date, fwd, rates, settle = market()
+        return (
+            LsmcValuationParameters.builder()
+            .with_storage(simple_storage())
+            .with_val_date(val_date)
+            .with_inventory(0.0)
+            .with_forward_curve(fwd)
+            .with_interest_rates(rates)
+            .with_settlement_rule(settle)
+            .with_basis_funcs(basis)
+            .with_dtype(F64)
+            .simulate_with_multi_factor_model(
+                factors_2f(val_date), 0.64, num_sims=num_sims, seed=11, fwd_sim_seed=11
+            )
+        )
+
+    def test_matches_function_api(self):
+        val_date, fwd, rates, settle = market()
+        expected = multi_factor_value(
+            simple_storage(), val_date, 0.0, fwd, rates, settle,
+            factors_2f(val_date), 0.64, 256, "1 + x0 + x0**2 + x1 + x1*x1",
+            False, seed=11, fwd_sim_seed=11, dtype=F64,
+        )
+        got = lsmc_value(self._params_builder().build())
+        assert got.npv == pytest.approx(expected.npv, rel=1e-12)
+        pd.testing.assert_series_equal(got.deltas, expected.deltas)
+
+    def test_missing_required_fields_raise(self):
+        builder = LsmcValuationParameters.builder().with_inventory(1.0)
+        with pytest.raises(ValueError, match="missing required fields"):
+            builder.build()
+
+    def test_cancellation(self):
+        calls = []
+
+        def poll():
+            calls.append(True)
+            return len(calls) > 1  # cancel on the second phase boundary
+
+        params = (
+            self._params_builder().with_cancellation_poll(poll).build()
+        )
+        with pytest.raises(JobCancelledError):
+            lsmc_value(params)
+
+    def test_combinator_basis_matches_string(self):
+        string_res = lsmc_value(self._params_builder().build())
+        comb = ONE + X0 + X0**2 + X1 + X1 * X1
+        comb_res = lsmc_value(
+            self._params_builder(basis=comb).build()
+        )
+        assert comb_res.npv == pytest.approx(string_res.npv, rel=1e-12)
+
+    def test_sim_data_flags_via_builder(self):
+        params = (
+            self._params_builder()
+            .with_sim_data_returned("none")
+            .build()
+        )
+        res = lsmc_value(params)
+        assert res.sim_spot_regress.empty
+        assert res.sim_inventory.empty
+        assert np.isfinite(res.npv)
+
+    def test_spot_combinator_in_function_api(self):
+        val_date, fwd, rates, settle = market()
+        s_str = multi_factor_value(
+            simple_storage(), val_date, 0.0, fwd, rates, settle,
+            factors_2f(val_date), 0.64, 128, "1 + s + s**2", False,
+            seed=7, fwd_sim_seed=7, dtype=F64,
+        )
+        s_comb = multi_factor_value(
+            simple_storage(), val_date, 0.0, fwd, rates, settle,
+            factors_2f(val_date), 0.64, 128, ONE + S + S**2, False,
+            seed=7, fwd_sim_seed=7, dtype=F64,
+        )
+        assert s_comb.npv == pytest.approx(s_str.npv, rel=1e-12)
+
+
+class TestShardedFromSims:
+    def test_multi_device_api_matches_single_device(self):
+        """num_sims divisible by the 8 virtual devices -> the public API path
+        shards; results must match the unsharded engine within f64 noise."""
+        val_date, fwd, rates, settle = market()
+        kwargs = dict(
+            interest_rates=rates, settlement_rule=settle,
+            factors=factors_2f(val_date), factor_corrs=0.64,
+            basis_funcs="1 + x0 + x0**2 + x1", discount_deltas=False,
+            seed=11, fwd_sim_seed=11, dtype=F64,
+        )
+        sharded = multi_factor_value(
+            simple_storage(), val_date, 0.0, fwd, num_sims=512, **kwargs
+        )
+        # 500 is not divisible by 8 -> single-device fallback; different sims,
+        # so only check statistical closeness.
+        single = multi_factor_value(
+            simple_storage(), val_date, 0.0, fwd, num_sims=500, **kwargs
+        )
+        assert np.isfinite(sharded.npv)
+        assert abs(sharded.npv - single.npv) < 4 * max(
+            sharded.val_sim_standard_error, single.val_sim_standard_error
+        )
