@@ -41,6 +41,8 @@ from .lsmc_params import (
     lsmc_value,
 )
 from .jobs import Job, JobCancelledError, JobControl, JobStatus, ValuationJobEngine
+from .calc_service import CalcMode, CalcStatus, CalculationService, ObjectCache
+from .curves import interpolate_curve_to_daily
 from .models.multi_factor import MultiFactorModel
 from .models.spot_sim import MultiFactorSpotSim
 from .results import (
@@ -88,5 +90,10 @@ __all__ = [
     "JobControl",
     "JobStatus",
     "ValuationJobEngine",
+    "CalcMode",
+    "CalcStatus",
+    "CalculationService",
+    "ObjectCache",
+    "interpolate_curve_to_daily",
     "__version__",
 ]
