@@ -15,6 +15,15 @@ from .facility import (
     InjectWithdrawRange,
     RatchetInterp,
 )
+from .constraints import (
+    ConstantInjectWithdrawConstraint,
+    InjectWithdrawRangeByInventory,
+    InjectWithdrawRangeByInventoryAndPeriod,
+    PiecewiseLinearInjectWithdrawConstraint,
+    PolynomialInjectWithdrawConstraint,
+    StepInjectWithdrawConstraint,
+)
+from .utils.discount import log_linear_discount_factors
 from .api import intrinsic_value, trinomial_value, trinomial_deltas, IntrinsicValuationResults
 from .api_lsmc import (
     three_factor_seasonal_value,
@@ -46,10 +55,14 @@ from .curves import interpolate_curve_to_daily
 from .models.multi_factor import MultiFactorModel
 from .models.spot_sim import MultiFactorSpotSim
 from .results import (
+    DomesticCashFlow,
+    InventoryRange,
     MultiFactorValuationResults,
     SimulationDataReturned,
+    StorageProfile,
     TriggerPricePoint,
     TriggerPriceProfile,
+    TriggerPrices,
 )
 
 __version__ = "0.1.0"
@@ -72,6 +85,17 @@ __all__ = [
     "SimulationDataReturned",
     "TriggerPricePoint",
     "TriggerPriceProfile",
+    "TriggerPrices",
+    "StorageProfile",
+    "DomesticCashFlow",
+    "InventoryRange",
+    "ConstantInjectWithdrawConstraint",
+    "PiecewiseLinearInjectWithdrawConstraint",
+    "PolynomialInjectWithdrawConstraint",
+    "StepInjectWithdrawConstraint",
+    "InjectWithdrawRangeByInventory",
+    "InjectWithdrawRangeByInventoryAndPeriod",
+    "log_linear_discount_factors",
     "parse_basis_functions",
     "BasisFunctionList",
     "MonomialBuilder",

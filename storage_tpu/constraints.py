@@ -339,3 +339,17 @@ class PolynomialInjectWithdrawConstraint(BaseConstraint):
             self._max_poly(inv).astype(np.float64),
             False,
         )
+
+
+class InjectWithdrawRangeByInventory(tp.NamedTuple):
+    """An (inventory, range) ratchet node (InjectWithdrawRangeByInventory.cs:31)."""
+
+    inventory: float
+    inject_withdraw_range: InjectWithdrawRange
+
+
+class InjectWithdrawRangeByInventoryAndPeriod(tp.NamedTuple):
+    """A dated set of ratchet nodes (InjectWithdrawRangeByInventoryAndPeriod.cs:34)."""
+
+    period: object
+    inject_withdraw_ranges: tp.Tuple[InjectWithdrawRangeByInventory, ...]

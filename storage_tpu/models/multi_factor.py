@@ -185,6 +185,21 @@ class MultiFactorModel:
         )
         return MultiFactorModel(freq, factors, factor_corrs, time_func)
 
+    @staticmethod
+    def for_1_factor(freq: str, mean_reversion: float, vol, time_func=None) -> "MultiFactorModel":
+        """Single-factor parameterisation (MultiFactorParameters.For1Factor)."""
+        import numpy as _np
+
+        return MultiFactorModel(freq, [(mean_reversion, vol)], _np.ones((1, 1)), time_func)
+
+    @staticmethod
+    def for_2_factors(
+        freq: str, factor_1, factor_2, factor_corr: float, time_func=None
+    ) -> "MultiFactorModel":
+        """Two-factor parameterisation (MultiFactorParameters.For2Factors);
+        ``factor_N`` are (mean_reversion, vol_curve) pairs."""
+        return MultiFactorModel(freq, [factor_1, factor_2], factor_corr, time_func)
+
 
 def create_3_factor_seasonal_params(
     freq: str,

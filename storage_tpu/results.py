@@ -62,9 +62,47 @@ class SimulationDataReturned(enum.Flag):
         )
 
 
+class DomesticCashFlow(tp.NamedTuple):
+    """Dated cash amount (DomesticCashFlow.cs:30)."""
+
+    date: object
+    amount: float
+
+
+class InventoryRange(tp.NamedTuple):
+    """Feasible inventory band (InventoryRange.cs:30)."""
+
+    min_inventory: float
+    max_inventory: float
+
+
+class StorageProfile(tp.NamedTuple):
+    """Per-period expected storage state (StorageProfile.cs:28)."""
+
+    inventory: float
+    inject_withdraw_volume: float
+    cmdty_consumed: float
+    inventory_loss: float
+    period_pv: float
+
+    @property
+    def net_volume(self) -> float:
+        """Net volume to market = -volume - consumed (StorageProfile.cs:28)."""
+        return -self.inject_withdraw_volume - self.cmdty_consumed
+
+
 class TriggerPricePoint(tp.NamedTuple):
     volume: float
     price: float
+
+
+class TriggerPrices(tp.NamedTuple):
+    """Max-volume trigger summary for one period (TriggerPrices.cs:28)."""
+
+    max_inject_volume: float
+    max_inject_trigger_price: float
+    max_withdraw_volume: float
+    max_withdraw_trigger_price: float
 
 
 class TriggerPriceProfile(tp.NamedTuple):

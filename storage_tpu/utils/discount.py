@@ -119,3 +119,52 @@ def discount_factors_for_periods(
         dtype=np.float64,
     )
     return df_settle, df_flow
+
+
+def log_linear_discount_factors(
+    val_day,
+    rate_curve: pd.Series,
+) -> tp.Callable[[_dt.date], float]:
+    """Discount-factor function from a SPARSE rate curve by log-linear
+    interpolation of discount factors between the provided pillar dates
+    (the Excel add-in's curve handling, StorageExcelHelper.cs:294).
+
+    ``rate_curve`` is indexed by pillar dates (anything pandas can coerce to
+    daily periods) holding continuously-compounded Act/365 zero rates.  The
+    returned function interpolates ln(DF) linearly in calendar days between
+    pillars and extrapolates flat-rate beyond the last pillar.
+    """
+    if not isinstance(rate_curve, pd.Series) or len(rate_curve) == 0:
+        raise ValueError("rate_curve must be a non-empty pandas Series.")
+    idx = rate_curve.index
+    if isinstance(idx, pd.PeriodIndex):
+        days = [pu.period_start_date(p.asfreq("D")) for p in idx]
+    else:
+        days = [pd.Period(d, freq="D").start_time.date() for d in idx]
+    val_day = pd.Period(val_day, freq="D").start_time.date()
+    pillars = sorted(zip(days, rate_curve.values))
+    pillar_days = [d for d, _ in pillars]
+    log_dfs = [
+        -float(r) * max(pu.day_offset(val_day, d), 0) / 365.0 for d, r in pillars
+    ]
+    offsets = [pu.day_offset(val_day, d) for d in pillar_days]
+
+    def discount_factor(cash_flow_day: _dt.date) -> float:
+        if isinstance(cash_flow_day, (pd.Timestamp, _dt.datetime)):
+            cash_flow_day = cash_flow_day.date() if hasattr(cash_flow_day, "date") else cash_flow_day
+        t = pu.day_offset(val_day, cash_flow_day)
+        if t <= 0:
+            return 1.0
+        if t <= offsets[0]:
+            # Before the first pillar: flat rate from the first pillar.
+            return float(np.exp(log_dfs[0] * t / max(offsets[0], 1)))
+        if t >= offsets[-1]:
+            # Beyond the last pillar: flat-rate extrapolation.
+            rate = -log_dfs[-1] / max(offsets[-1], 1)
+            return float(np.exp(-rate * t))
+        hi = int(np.searchsorted(offsets, t))
+        lo = hi - 1
+        w = (t - offsets[lo]) / (offsets[hi] - offsets[lo])
+        return float(np.exp(log_dfs[lo] * (1 - w) + log_dfs[hi] * w))
+
+    return discount_factor
