@@ -256,6 +256,28 @@ def _lsmc_calc(
     ) and isinstance(fwd_curve.index, pd.PeriodIndex):
         raise ValueError("cmdty_storage and forward_curve have different frequencies.")
 
+    # Degenerate cases: expired storage and valuation on the end period return
+    # zero/terminal-value results with empty series, mirroring the reference's
+    # guard clauses (LsmcStorageValuation.cs:64-87).
+    val_period = pu.to_period(val_date, storage.start.freqstr)
+    if val_period > storage.end:
+        return _degenerate_results(0.0, storage.freq)
+    if val_period == storage.end:
+        if storage.empty_at_end:
+            if inventory > 0:
+                raise ValueError(
+                    "Storage must be empty at end, but inventory is greater than zero."
+                )
+            return _degenerate_results(0.0, storage.freq)
+        curve = fwd_curve
+        if not isinstance(curve.index, pd.PeriodIndex):
+            curve = curve.copy()
+            curve.index = pd.PeriodIndex(curve.index, freq=storage.start.freqstr)
+        price = float(curve[val_period])
+        return _degenerate_results(
+            float(storage.terminal_storage_npv(price, float(inventory))), storage.freq
+        )
+
     def progress(x: float):
         # Cooperative cancellation, polled at phase boundaries (the analog of
         # the reference's per-step CancellationToken checks,
@@ -413,3 +435,32 @@ def _lsmc_calc(
     logger.info("LSMC phase profile:\n%s", stopwatches.report())
     progress(1.0)
     return out
+
+
+def _degenerate_results(npv: float, freq: str) -> MultiFactorValuationResults:
+    """Zero/terminal-value results with empty series/frames for expired or
+    end-period valuations (LsmcStorageValuationResults.CreateExpiredResults /
+    CreateEndPeriodResults, LsmcStorageValuationResults.cs:60-105)."""
+    empty_idx = pd.PeriodIndex([], freq=freq)
+    empty_series = pd.Series(index=empty_idx, dtype=np.float64)
+    empty_frame = pd.DataFrame(index=empty_idx)
+    return MultiFactorValuationResults(
+        npv=float(npv),
+        val_sim_standard_error=0.0,
+        deltas=empty_series,
+        expected_profile=empty_frame,
+        intrinsic_npv=float(npv),
+        intrinsic_profile=empty_frame,
+        sim_spot_regress=pd.DataFrame(),
+        sim_spot_valuation=pd.DataFrame(),
+        sim_factors_regress=(),
+        sim_factors_valuation=(),
+        sim_inventory=pd.DataFrame(),
+        sim_inject_withdraw=pd.DataFrame(),
+        sim_cmdty_consumed=pd.DataFrame(),
+        sim_inventory_loss=pd.DataFrame(),
+        sim_net_volume=pd.DataFrame(),
+        sim_pv=pd.DataFrame(),
+        trigger_prices=empty_frame,
+        trigger_profiles=empty_series.copy(),
+    )
