@@ -55,6 +55,7 @@ from ..basis import Monomial, design_matrix
 from ..facility import CompiledStorage
 from ..ops import interp
 from ..ops import decision_kernel
+from ..ops import forward_kernel
 from ..ops.regression import column_stats, fit_continuation, predict
 from .intrinsic import immediate_pv
 
@@ -262,6 +263,76 @@ def lsmc_backward(
     return v0, regression
 
 
+def _trigger_outputs(x, xbar, expected_inventory, ratchet_is_step: bool,
+                     num_extra_decisions: int, dtype):
+    """Per-step trigger-price outputs at the expected inventory
+    (LsmcStorageValuation.cs:523-592).  ``x`` carries the step scalars,
+    ``xbar`` the cross-sim mean standardised design row."""
+    num_tv = NUM_TRIGGER_PRICE_VOLUMES
+    cbar = xbar @ x["coeffs"]  # [G_next]
+    e_loss = x["loss_pcnt"] * expected_inventory
+    e_min_rate, e_max_rate = gridmod.ratchet_rates(
+        x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"], ratchet_is_step,
+        expected_inventory,
+    )
+    e_decisions = gridmod.bang_bang_decisions(
+        e_min_rate, e_max_rate, expected_inventory, x["loss_pcnt"], x["next_min"],
+        x["next_max"], num_extra_decisions,
+    )  # [D]
+
+    def side(selector_max: bool):
+        if selector_max:  # inject side
+            extreme = jnp.max(e_decisions)
+            nonneg = jnp.where(e_decisions >= 0, e_decisions, jnp.inf)
+            alternative = jnp.min(nonneg)
+            active = (extreme > 0) & (extreme > alternative)
+        else:  # withdraw side
+            extreme = jnp.min(e_decisions)
+            nonpos = jnp.where(e_decisions <= 0, e_decisions, -jnp.inf)
+            alternative = jnp.max(nonpos)
+            active = (extreme < 0) & (extreme < alternative)
+
+        def pv_parts(volume):
+            is_inject = volume > 0.0
+            abs_v = jnp.abs(volume)
+            consumed_v = jnp.where(is_inject, x["inj_pcnt"], x["wdr_pcnt"]) * abs_v
+            cost_v = (
+                jnp.where(is_inject, x["inj_cost"], x["wdr_cost"]) * abs_v * x["df_flow"]
+            )
+            cont_v = interp.interp_vector(
+                x["grid_next"], cbar, expected_inventory + volume - e_loss
+            )
+            return cont_v, cost_v, consumed_v
+
+        alt_cont, alt_cost, alt_consumed = pv_parts(alternative)
+        j = jnp.arange(1, num_tv + 1, dtype=dtype)
+        volumes = alternative + j * (extreme - alternative) / num_tv  # ends at extreme
+        cont_v, cost_v, consumed_v = pv_parts(volumes)
+        # Price making the trigger volume indifferent to the alternative
+        # (CalcTriggerPrice, LsmcStorageValuation.cs:704-723).
+        denom = x["df_settle"] * (volumes - alternative + consumed_v - alt_consumed)
+        prices = ((cont_v - alt_cont) - (cost_v - alt_cost)) / denom
+        nan = jnp.asarray(jnp.nan, dtype)
+        volumes = jnp.where(active, volumes, nan)
+        prices = jnp.where(active, prices, nan)
+        return volumes, prices, jnp.where(active, extreme, nan), jnp.where(
+            active, prices[-1], nan
+        )
+
+    inj_volumes, inj_prices, max_inj_vol, max_inj_price = side(True)
+    wdr_volumes, wdr_prices, max_wdr_vol, max_wdr_price = side(False)
+    return {
+        "inj_volumes": inj_volumes,
+        "inj_prices": inj_prices,
+        "wdr_volumes": wdr_volumes,
+        "wdr_prices": wdr_prices,
+        "max_inj_vol": max_inj_vol,
+        "max_inj_price": max_inj_price,
+        "max_wdr_vol": max_wdr_vol,
+        "max_wdr_price": max_wdr_price,
+    }
+
+
 def lsmc_forward(
     arrays: tp.Dict[str, jnp.ndarray],
     spot_val: jnp.ndarray,  # [N+1, S]
@@ -275,11 +346,17 @@ def lsmc_forward(
     ratchet_is_step: bool,
     axis_name: tp.Optional[str],
     return_sim_data: bool,
+    use_pallas: bool = False,
 ):
     grids = arrays["grids"]
     n = grids.shape[0] - 1
     dtype = grids.dtype
     s_local = spot_val.shape[1]
+    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    fused = (
+        use_pallas and not return_sim_data and dtype == jnp.float32
+        and sim_tile > 0
+    )
 
     per_step = {
         "grid_next": grids[1:],
@@ -306,6 +383,61 @@ def lsmc_forward(
 
     num_decisions = 2 * num_extra_decisions + 3
     num_tv = NUM_TRIGGER_PRICE_VOLUMES
+
+    if fused:
+        # Pack per-step scalars for the fused kernel's SMEM parameter vector.
+        g_next = grids.shape[1]
+        lo_all = per_step["grid_next"][:, 0]
+        hi_all = per_step["grid_next"][:, g_next - 1]
+        span = hi_all - lo_all
+        delta_pos = span / (g_next - 1) > 0
+        inv_delta = jnp.where(
+            delta_pos, (g_next - 1) / jnp.where(span > 0, span, 1.0), 0.0
+        )
+        per_step["params"] = jnp.stack(
+            [
+                per_step["df_settle"], per_step["df_flow"],
+                per_step["inj_cost"], per_step["wdr_cost"],
+                per_step["inj_pcnt"], per_step["wdr_pcnt"],
+                per_step["loss_pcnt"], per_step["inv_cost_rate"],
+                per_step["next_min"], per_step["next_max"],
+                lo_all, hi_all, inv_delta,
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+
+    def forward_step_fused(carry, x):
+        inventory, pv = carry  # [S], [S]
+        new_inv, new_pv, _opt_dec, _opt_cons, sums, xbar_sum = (
+            forward_kernel.forward_step_pallas(
+                x["params"], x["mean"], x["std"],
+                x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"],
+                x["spot"], x["factors"], inventory, pv, x["coeffs"],
+                monomials, num_extra_decisions, ratchet_is_step, sim_tile,
+            )
+        )
+        count = _psum(jnp.asarray(s_local, dtype), axis_name)
+        sums_g = _psum(sums, axis_name)
+        xbar = _psum(xbar_sum, axis_name) / count
+        expected_inventory = sums_g[forward_kernel._A_INV] / count
+        profile = (
+            expected_inventory,
+            sums_g[forward_kernel._A_DEC] / count,
+            sums_g[forward_kernel._A_CONS] / count,
+            sums_g[forward_kernel._A_LOSS] / count,
+            sums_g[forward_kernel._A_IMM] / count,
+        )
+        disc = x["df_settle"] if discount_deltas else jnp.ones_like(x["df_settle"])
+        delta = sums_g[forward_kernel._A_DELTA] / count / x["fwd"] * disc
+        outputs = {
+            "delta": delta,
+            "profile": profile,
+            **_trigger_outputs(
+                x, xbar, expected_inventory, ratchet_is_step,
+                num_extra_decisions, dtype,
+            ),
+        }
+        return (new_inv, new_pv), outputs
 
     def forward_step(carry, x):
         inventory, pv = carry  # [S], [S]
@@ -363,70 +495,13 @@ def lsmc_forward(
         # Mean continuation per grid point = (mean standardised design row) @
         # coeffs — no [S, G] reduction needed.
         xbar = _global_mean_over_sims(dm_std.T, axis_name)  # [B]
-        cbar = xbar @ x["coeffs"]  # [G_next]
-        e_loss = x["loss_pcnt"] * expected_inventory
-        e_min_rate, e_max_rate = gridmod.ratchet_rates(
-            x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"], ratchet_is_step,
-            expected_inventory,
-        )
-        e_decisions = gridmod.bang_bang_decisions(
-            e_min_rate, e_max_rate, expected_inventory, x["loss_pcnt"], x["next_min"],
-            x["next_max"], num_extra_decisions,
-        )  # [D]
-
-        def side(selector_max: bool):
-            if selector_max:  # inject side
-                extreme = jnp.max(e_decisions)
-                nonneg = jnp.where(e_decisions >= 0, e_decisions, jnp.inf)
-                alternative = jnp.min(nonneg)
-                active = (extreme > 0) & (extreme > alternative)
-            else:  # withdraw side
-                extreme = jnp.min(e_decisions)
-                nonpos = jnp.where(e_decisions <= 0, e_decisions, -jnp.inf)
-                alternative = jnp.max(nonpos)
-                active = (extreme < 0) & (extreme < alternative)
-
-            def pv_parts(volume):
-                is_inject = volume > 0.0
-                abs_v = jnp.abs(volume)
-                consumed_v = jnp.where(is_inject, x["inj_pcnt"], x["wdr_pcnt"]) * abs_v
-                cost_v = (
-                    jnp.where(is_inject, x["inj_cost"], x["wdr_cost"]) * abs_v * x["df_flow"]
-                )
-                cont_v = interp.interp_vector(
-                    x["grid_next"], cbar, expected_inventory + volume - e_loss
-                )
-                return cont_v, cost_v, consumed_v
-
-            alt_cont, alt_cost, alt_consumed = pv_parts(alternative)
-            j = jnp.arange(1, num_tv + 1, dtype=dtype)
-            volumes = alternative + j * (extreme - alternative) / num_tv  # ends at extreme
-            cont_v, cost_v, consumed_v = pv_parts(volumes)
-            # Price making the trigger volume indifferent to the alternative
-            # (CalcTriggerPrice, LsmcStorageValuation.cs:704-723).
-            denom = x["df_settle"] * (volumes - alternative + consumed_v - alt_consumed)
-            prices = ((cont_v - alt_cont) - (cost_v - alt_cost)) / denom
-            nan = jnp.asarray(jnp.nan, dtype)
-            volumes = jnp.where(active, volumes, nan)
-            prices = jnp.where(active, prices, nan)
-            return volumes, prices, jnp.where(active, extreme, nan), jnp.where(
-                active, prices[-1], nan
-            )
-
-        inj_volumes, inj_prices, max_inj_vol, max_inj_price = side(True)
-        wdr_volumes, wdr_prices, max_wdr_vol, max_wdr_price = side(False)
-
         outputs = {
             "delta": delta,
             "profile": profile,
-            "inj_volumes": inj_volumes,
-            "inj_prices": inj_prices,
-            "wdr_volumes": wdr_volumes,
-            "wdr_prices": wdr_prices,
-            "max_inj_vol": max_inj_vol,
-            "max_inj_price": max_inj_price,
-            "max_wdr_vol": max_wdr_vol,
-            "max_wdr_price": max_wdr_price,
+            **_trigger_outputs(
+                x, xbar, expected_inventory, ratchet_is_step,
+                num_extra_decisions, dtype,
+            ),
         }
         if return_sim_data:
             outputs["sim"] = {
@@ -441,7 +516,7 @@ def lsmc_forward(
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     pv0 = jnp.zeros((s_local,), dtype)
     (final_inventory, pv_by_sim), outputs = jax.lax.scan(
-        forward_step, (inv0, pv0), per_step
+        forward_step_fused if fused else forward_step, (inv0, pv0), per_step
     )
 
     # Terminal period PV for non-empty storage (corrected semantics; see module
@@ -543,7 +618,7 @@ def lsmc_core(
     result = lsmc_forward(
         arrays, spot_val, factors_val, regression, starting_inventory, monomials,
         num_extra_decisions, discount_deltas, terminal_fn, ratchet_is_step, axis_name,
-        return_sim_data,
+        return_sim_data, use_pallas=use_pallas,
     )
     # Backward (upper-ish) estimate: mean over sims of the first-period values at
     # the known starting inventory (grid[0] is degenerate) — LsmcStorageValuation.cs:623.
