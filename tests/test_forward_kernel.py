@@ -1,0 +1,274 @@
+"""Fused Pallas forward-step kernel: interpret-mode equivalence on CPU.
+
+The fused forward kernel (ops/forward_kernel.py) is the code path the TPU
+benchmark runs through (f32, ``return_sim_data=False``); its on-chip
+accumulators feed deltas, expected profiles and the trigger-price inputs
+(engines/lsmc.py:409-440).  These tests pin the kernel *logic* against the
+pure-XLA forward step (the reference behaviour of
+``LsmcStorageValuation.cs:390-593``) via ``interpret=True``:
+
+* new inventory / PV carries,
+* the chosen decision / fuel consumption,
+* every accumulator slot (profile sums, pathwise-delta numerator),
+* the mean standardised design row (trigger-price input),
+* multi-tile accumulation (S spanning several sim tiles),
+over ratcheted (linear + step), extra-decision, loss/consumption and
+degenerate-grid configs.  An engine-level test runs the full fused LSMC
+(backward decision kernel + forward kernel) under
+``pltpu.force_tpu_interpret_mode`` and compares against the XLA engine.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from storage_tpu import grid as gridmod
+from storage_tpu.basis import design_matrix, parse_basis_functions
+from storage_tpu.ops import forward_kernel
+from storage_tpu.ops.interp import interp_per_sim
+
+F32 = jnp.float32
+
+
+def _xla_forward_step(scalars, mean, std, ratchet_inv, ratchet_min, ratchet_max,
+                      spot, factors, inventory, pv, coeffs, grid_next,
+                      monomials, num_extra_decisions, ratchet_is_step):
+    """The engine's pure-XLA forward step (engines/lsmc.py:442-514), reduced to
+    the quantities the fused kernel outputs."""
+    dm = design_matrix(monomials, spot, factors)  # [S, B]
+    dm_std = (dm - mean) / std
+    c_reg = dm_std @ coeffs  # [S, G]
+
+    min_rate, max_rate = gridmod.ratchet_rates(
+        ratchet_inv, ratchet_min, ratchet_max, ratchet_is_step, inventory
+    )
+    decisions = gridmod.bang_bang_decisions(
+        min_rate, max_rate, inventory, scalars["loss_pcnt"],
+        scalars["next_min"], scalars["next_max"], num_extra_decisions,
+    )  # [S, D]
+    loss = scalars["loss_pcnt"] * inventory
+    inv_after = inventory[:, None] + decisions - loss[:, None]
+    cont = interp_per_sim(grid_next, c_reg, inv_after)  # [S, D]
+
+    is_inject = decisions > 0.0
+    abs_d = jnp.abs(decisions)
+    consumed = jnp.where(is_inject, scalars["inj_pcnt"], scalars["wdr_pcnt"]) * abs_d
+    cost_npv = (
+        jnp.where(is_inject, scalars["inj_cost"], scalars["wdr_cost"])
+        * abs_d * scalars["df_flow"]
+    )
+    inv_cost_npv = scalars["inv_cost_rate"] * inventory * scalars["df_flow"]
+    imm = (
+        -(decisions + consumed) * scalars["df_settle"] * spot[:, None]
+        - cost_npv - inv_cost_npv[:, None]
+    )
+    total = imm + cont
+    best = jnp.argmax(total, axis=1)
+    d = decisions.shape[1]
+    onehot = (best[:, None] == jnp.arange(d)).astype(imm.dtype)
+    take = lambda arr: jnp.sum(arr * onehot, axis=1)
+    opt_dec = take(decisions)
+    opt_cons = take(consumed)
+    opt_imm = take(imm)
+    new_inv = take(inv_after)
+    new_pv = pv + opt_imm
+    sums = jnp.stack([
+        jnp.sum(inventory), jnp.sum(opt_dec), jnp.sum(opt_cons),
+        jnp.sum(loss), jnp.sum(opt_imm), jnp.sum(-(opt_dec + opt_cons) * spot),
+    ])
+    xbar_sum = jnp.sum(dm_std, axis=0)  # [B]
+    return new_inv, new_pv, opt_dec, opt_cons, sums, xbar_sum
+
+
+def _make_case(seed, *, s=256, g=16, f=2, e=1, ratchet_is_step=False, r=4,
+               loss=0.02, degenerate_grid=False):
+    """Random but decision-separated step inputs (f32, kernel layout)."""
+    rng = np.random.default_rng(seed)
+    monomials = tuple(parse_basis_functions("1 + s + x0 + x0**2 + x1"))
+    b_dim = len(monomials)
+    spot = jnp.asarray(rng.uniform(20.0, 60.0, s), F32)
+    factors = jnp.asarray(rng.normal(0.0, 0.5, (f, s)), F32)
+    inventory = jnp.asarray(rng.uniform(0.0, 1000.0, s), F32)
+    pv = jnp.asarray(rng.normal(0.0, 100.0, s), F32)
+    coeffs = jnp.asarray(rng.normal(0.0, 20.0, (b_dim, g)), F32)
+    mean = jnp.asarray(rng.normal(0.0, 1.0, b_dim), F32)
+    std = jnp.asarray(rng.uniform(0.5, 2.0, b_dim), F32)
+    ratchet_inv = jnp.asarray(np.linspace(0.0, 1000.0, r), F32)
+    # Injection caps fall with inventory, withdrawal rises (realistic ratchet).
+    ratchet_max = jnp.asarray(np.linspace(150.0, 40.0, r), F32)
+    ratchet_min = jnp.asarray(np.linspace(-30.0, -140.0, r), F32)
+    if degenerate_grid:
+        grid_next = jnp.full((g,), 500.0, F32)
+    else:
+        grid_next = jnp.asarray(np.linspace(0.0, 1100.0, g), F32)
+    scalars = {
+        "df_settle": jnp.asarray(0.97, F32),
+        "df_flow": jnp.asarray(0.95, F32),
+        "inj_cost": jnp.asarray(1.2, F32),
+        "wdr_cost": jnp.asarray(0.9, F32),
+        "inj_pcnt": jnp.asarray(0.015, F32),
+        "wdr_pcnt": jnp.asarray(0.01, F32),
+        "loss_pcnt": jnp.asarray(loss, F32),
+        "inv_cost_rate": jnp.asarray(0.03, F32),
+        "next_min": jnp.asarray(0.0 if not degenerate_grid else 500.0, F32),
+        "next_max": jnp.asarray(1100.0 if not degenerate_grid else 500.0, F32),
+    }
+    return dict(
+        scalars=scalars, mean=mean, std=std, ratchet_inv=ratchet_inv,
+        ratchet_min=ratchet_min, ratchet_max=ratchet_max, spot=spot,
+        factors=factors, inventory=inventory, pv=pv, coeffs=coeffs,
+        grid_next=grid_next, monomials=monomials, e=e,
+        ratchet_is_step=ratchet_is_step,
+    )
+
+
+def _run_both(case, sim_tile=128):
+    params = forward_kernel.pack_params(case["scalars"], case["grid_next"])
+    got = forward_kernel.forward_step_pallas(
+        params, case["mean"], case["std"], case["ratchet_inv"],
+        case["ratchet_min"], case["ratchet_max"], case["spot"], case["factors"],
+        case["inventory"], case["pv"], case["coeffs"], case["monomials"],
+        case["e"], case["ratchet_is_step"], sim_tile, interpret=True,
+    )
+    want = _xla_forward_step(
+        case["scalars"], case["mean"], case["std"], case["ratchet_inv"],
+        case["ratchet_min"], case["ratchet_max"], case["spot"], case["factors"],
+        case["inventory"], case["pv"], case["coeffs"], case["grid_next"],
+        case["monomials"], case["e"], case["ratchet_is_step"],
+    )
+    return got, want
+
+
+def _assert_step_equal(got, want, b_dim, s):
+    names = ["new_inventory", "new_pv", "opt_decision", "opt_consumed"]
+    for name, g_arr, w_arr in zip(names, got[:4], want[:4]):
+        np.testing.assert_allclose(
+            np.asarray(g_arr), np.asarray(w_arr), rtol=2e-4, atol=0.5,
+            err_msg=f"{name} mismatch",
+        )
+    # Accumulators: sums over S sims of O(100) values -> scale atol with S.
+    got_sums = np.asarray(got[4])[: want[4].shape[0]]
+    np.testing.assert_allclose(
+        got_sums, np.asarray(want[4]), rtol=5e-4, atol=0.01 * s,
+        err_msg="cross-sim accumulator mismatch",
+    )
+    # Remaining accumulator lanes must stay zero (unused slots).
+    np.testing.assert_array_equal(np.asarray(got[4])[want[4].shape[0]:], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got[5]), np.asarray(want[5]), rtol=5e-4, atol=1e-2 * s,
+        err_msg="xbar (trigger input) mismatch",
+    )
+
+
+def test_linear_ratchet_extra_decisions_multi_tile():
+    """Linear ratchets, 5 decisions, losses + fuel + inventory cost; S=256 over
+    two 128-sim tiles exercises cross-tile accumulator initialisation."""
+    case = _make_case(11)
+    got, want = _run_both(case, sim_tile=128)
+    _assert_step_equal(got, want, len(case["monomials"]), 256)
+
+
+def test_step_ratchet_bang_bang():
+    case = _make_case(12, e=0, ratchet_is_step=True, r=3, loss=0.0)
+    got, want = _run_both(case, sim_tile=128)
+    _assert_step_equal(got, want, len(case["monomials"]), 256)
+
+
+def test_degenerate_next_grid():
+    """A collapsed next-period band (forced inventory) maps every continuation
+    lookup to grid node 0 in both paths."""
+    case = _make_case(13, degenerate_grid=True)
+    got, want = _run_both(case, sim_tile=128)
+    _assert_step_equal(got, want, len(case["monomials"]), 256)
+
+
+def test_single_tile_matches_two_tiles():
+    """Tile size must not change results (accumulators are tile-order sums)."""
+    case = _make_case(14)
+    got_1, _ = _run_both(case, sim_tile=256)
+    got_2, _ = _run_both(case, sim_tile=128)
+    for a, b in zip(got_1, got_2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-2
+        )
+
+
+def test_engine_fused_path_matches_xla_engine():
+    """Full LSMC (backward decision kernel + fused forward kernel) in interpret
+    mode vs the pure-XLA engine at f32: the benchmark configuration's exact
+    code path, checked end-to-end (NPV, SE, deltas, profiles, triggers)."""
+    from storage_tpu.engines import lsmc as lsmc_engine
+    from storage_tpu.models import multi_factor as mf
+    from storage_tpu.models.spot_sim import simulate_ou_paths
+    from storage_tpu.parallel.mesh import sim_inputs_from_precompute
+    from storage_tpu.valuation_inputs import prepare_valuation
+    from storage_tpu import CmdtyStorage, RatchetInterp
+
+    storage = CmdtyStorage(
+        "D", "2020-01-01", "2020-01-21", 1.1, 0.8,
+        ratchets=[
+            ("2020-01-01", [(0.0, -100.0, 220.0), (1000.0, -160.0, 130.0),
+                            (2000.0, -200.0, 80.0)]),
+        ],
+        ratchet_interp=RatchetInterp.LINEAR,
+        cmdty_consumed_inject=0.01, cmdty_consumed_withdraw=0.008,
+    )
+    val_date = "2020-01-01"
+    idx = pd.period_range("2020-01-01", "2020-01-21", freq="D")
+    fwd = pd.Series(index=idx, data=30.0 + 5.0 * np.sin(np.arange(len(idx))))
+    inputs = prepare_valuation(storage, val_date, 500.0, fwd, 0.05, None)
+    vol_idx = pd.period_range(val_date, "2020-02-01", freq="D")
+    pre = mf.simulation_precompute(
+        [(10.0, pd.Series(index=vol_idx, data=0.7))], None, inputs.val_day,
+        list(inputs.periods), "D",
+    )
+    sim_inputs = sim_inputs_from_precompute(pre, inputs.fwd, F32)
+    monomials = tuple(parse_basis_functions("1 + s + x0 + x0**2"))
+    arrays = lsmc_engine.build_engine_arrays(
+        inputs.compiled, inputs.fwd, inputs.df_settle, inputs.df_flow,
+        inputs.inventory_lower, inputs.inventory_upper, 10, F32,
+    )
+    reg = simulate_ou_paths(
+        jax.random.key(7), jnp.arange(512), sim_inputs["decay"],
+        sim_inputs["chol"], sim_inputs["vols"], sim_inputs["half_var"],
+        sim_inputs["fwd"],
+    )
+    val = simulate_ou_paths(
+        jax.random.key(8), jnp.arange(512), sim_inputs["decay"],
+        sim_inputs["chol"], sim_inputs["vols"], sim_inputs["half_var"],
+        sim_inputs["fwd"],
+    )
+    run = functools.partial(
+        lsmc_engine.lsmc_core, arrays, reg.spot, reg.factors, val.spot,
+        val.factors, jnp.asarray(500.0, F32), monomials, 0, False, None, False,
+    )
+    want = run(use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = run(use_pallas=True)
+
+    assert float(got["npv"]) == pytest.approx(float(want["npv"]), rel=2e-4)
+    assert float(got["standard_error"]) == pytest.approx(
+        float(want["standard_error"]), rel=1e-3
+    )
+    for key in (
+        "deltas", "profile_inventory", "profile_inject_withdraw",
+        "profile_cmdty_consumed", "profile_inventory_loss", "profile_pv",
+        "max_inject_volume", "max_withdraw_volume",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=2e-3, atol=0.5,
+            err_msg=f"{key} mismatch between fused and XLA engines",
+        )
+    for key in ("max_inject_trigger_price", "max_withdraw_trigger_price",
+                "trigger_inject_prices", "trigger_withdraw_prices"):
+        g_arr, w_arr = np.asarray(got[key]), np.asarray(want[key])
+        np.testing.assert_array_equal(np.isnan(g_arr), np.isnan(w_arr))
+        mask = ~np.isnan(w_arr)
+        np.testing.assert_allclose(
+            g_arr[mask], w_arr[mask], rtol=5e-3, atol=0.05,
+            err_msg=f"{key} mismatch between fused and XLA engines",
+        )
