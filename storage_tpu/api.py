@@ -175,7 +175,7 @@ def trinomial_value(
         mean_reversion,
         time_step,
     )
-    offset = (inputs.periods[0] - val_period).n
+    offset = pu.period_offset(inputs.periods[0], val_period)
     result, _arrays, _tree_arrays = tree_engine.tree_valuation(
         inputs.compiled,
         tree,

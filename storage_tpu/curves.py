@@ -59,7 +59,7 @@ def piecewise_flat_to_daily(
     values = np.empty(len(index))
     i = 0
     for start, stop, price in zip(starts, boundaries, prices):
-        n = (stop - start).n
+        n = pu.period_offset(stop, start)
         values[i : i + n] = price
         i += n
     return pd.Series(index=index, data=values)
@@ -98,7 +98,7 @@ def spline_to_daily(
     i = 0
     spans = []
     for start, stop in zip(starts, boundaries):
-        length = (stop - start).n
+        length = pu.period_offset(stop, start)
         a_mat[len(spans), i : i + length] = 1.0 / length
         spans.append((i, i + length))
         i += length

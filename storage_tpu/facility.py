@@ -269,7 +269,7 @@ class CmdtyStorage:
 
     def _period_idx(self, period: pu.PeriodSpec, clamp_to_active: bool = False) -> int:
         p = pu.to_period(period, self._pandas_freq)
-        offset = (p - self._start).n
+        offset = pu.period_offset(p, self._start)
         if offset < 0 or offset >= len(self._all_periods):
             raise ValueError(f"Period {p} outside storage active window.")
         if clamp_to_active and offset >= len(self._active_periods):
@@ -400,7 +400,7 @@ def compile_storage(storage: CmdtyStorage, val_period: pd.Period) -> CompiledSto
         raise ValueError("Storage has expired.")
     periods = pu.period_index(start_active, storage.end)
     num_steps = len(periods) - 1
-    first_step = (start_active - storage.start).n
+    first_step = pu.period_offset(start_active, storage.start)
 
     min_inv = np.array(
         [storage.min_inventory(p) for p in periods], dtype=np.float64

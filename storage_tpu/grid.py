@@ -44,7 +44,7 @@ def calculate_inventory_space(
     start_active = max(storage.start, val_p)
     periods = pu.period_index(start_active, storage.end)
     num_steps = len(periods) - 1
-    first_step = (start_active - storage.start).n
+    first_step = pu.period_offset(start_active, storage.start)
 
     if use_native is not False:
         native_result = _native_inventory_space(

@@ -56,6 +56,18 @@ def period_index(start: pd.Period, end: pd.Period) -> pd.PeriodIndex:
     return pd.period_range(start=start, end=end, freq=start.freqstr)
 
 
+def period_offset(period: pd.Period, base: pd.Period) -> int:
+    """Number of periods from ``base`` to ``period`` (same freq).
+
+    Neither ``(p1 - p2).n`` nor raw ordinal differences count *periods* for
+    multiple-unit frequencies: pandas returns/stores minutes for 15min/30min
+    periods.  The ordinal difference divided by the frequency multiple
+    (``freq.n``: 15/30 for the intraday freqs, 1 for h/D/M/Q) is the period
+    count at every supported frequency.
+    """
+    return (period.ordinal - base.ordinal) // base.freq.n
+
+
 def period_start_date(period: pd.Period) -> _dt.date:
     return period.start_time.date()
 
