@@ -71,11 +71,12 @@ def three_factor_seasonal_value(
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
     dtype=jnp.float32,
     antithetic: bool = False,
+    deltas_method: str = "pathwise",
 ) -> MultiFactorValuationResults:
     """3-factor seasonal LSMC valuation (reference ``multi_factor.py:99-135``).
 
     Basis functions may reference the factors as ``x_st``/``x_lt``/``x_sw`` or
-    ``x0``/``x1``/``x2``.
+    ``x0``/``x1``/``x2``.  ``deltas_method``: see ``multi_factor_value``.
     """
     freq = cmdty_storage.freq
     end_period = cmdty_storage.end
@@ -93,6 +94,7 @@ def three_factor_seasonal_value(
         numerical_tolerance=numerical_tolerance,
         on_progress_update=on_progress_update,
         sim_data_returned=sim_data_returned, dtype=dtype, antithetic=antithetic,
+        deltas_method=deltas_method,
     )
 
 
@@ -118,8 +120,25 @@ def multi_factor_value(
     dtype=jnp.float32,
     antithetic: bool = False,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
+    deltas_method: str = "pathwise",
 ) -> MultiFactorValuationResults:
-    """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``)."""
+    """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``).
+
+    ``deltas_method`` selects the delta estimator reported in ``deltas``:
+
+    * ``"pathwise"`` (default) — the reference's hand-derived pathwise formula
+      (LsmcStorageValuation.cs:513-518), which assumes spot = forward x
+      stochastic term and a policy insensitive to the bump;
+    * ``"adjoint"`` — reverse-mode AD of the full valuation with respect to
+      the forward curve (one extra backward sweep; envelope-theorem gradient
+      through the bang-bang argmax).  Under the multi-factor model it
+      reproduces the pathwise series to machine precision (pinned by
+      tests/test_ad_deltas_api.py) — its value is generality: it stays exact
+      for price models where spot is not forward-proportional and for
+      terminal-value/inventory-cost structures outside the hand formula's
+      assumptions, and it is the natural extension point for sensitivities
+      to other curve inputs.
+    """
     factor_corrs = mf.validate_multi_factor_params(factors, factor_corrs)
 
     def sims_provider(inputs: ValuationInputs):
@@ -155,7 +174,7 @@ def multi_factor_value(
         settlement_rule, sims_provider, basis_funcs, discount_deltas,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
-        cancellation_poll=cancellation_poll,
+        cancellation_poll=cancellation_poll, deltas_method=deltas_method,
     )
 
 
@@ -179,6 +198,7 @@ def value_from_sims(
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
     dtype=jnp.float32,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
+    deltas_method: str = "pathwise",
 ) -> MultiFactorValuationResults:
     """Valuation from user-supplied spot/factor simulations (reference
     ``multi_factor.py:171-208`` / ``SpotSimResultsFromPanels.cs:36-117``).
@@ -201,7 +221,7 @@ def value_from_sims(
         settlement_rule, sims_provider, basis_funcs, discount_deltas,
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
-        cancellation_poll=cancellation_poll,
+        cancellation_poll=cancellation_poll, deltas_method=deltas_method,
     )
 
 
@@ -248,12 +268,19 @@ def _lsmc_calc(
     sim_data_returned: SimulationDataReturned,
     dtype,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
+    deltas_method: str = "pathwise",
 ) -> MultiFactorValuationResults:
     del numerical_tolerance  # API parity; device kernels are branchless
+    if deltas_method not in ("pathwise", "adjoint"):
+        raise ValueError(
+            f"deltas_method must be 'pathwise' or 'adjoint', got {deltas_method!r}."
+        )
     sim_data_returned = SimulationDataReturned.coerce(sim_data_returned)
-    if isinstance(fwd_curve, pd.Series) and storage.freq != str(
-        getattr(fwd_curve.index, "freqstr", storage.freq)
-    ) and isinstance(fwd_curve.index, pd.PeriodIndex):
+    # Compare normalised pandas freqs, not the user string: "Q" normalises to
+    # "Q-DEC", "H" to "h" (reference check multi_factor.py:215-216).
+    if isinstance(fwd_curve, pd.Series) and isinstance(
+        fwd_curve.index, pd.PeriodIndex
+    ) and storage.start.freqstr != fwd_curve.index.freqstr:
         raise ValueError("cmdty_storage and forward_curve have different frequencies.")
 
     # Degenerate cases: expired storage and valuation on the end period return
@@ -347,6 +374,22 @@ def _lsmc_calc(
             return_sim_data=wants_sim_data,
         )
         result = {k: np.asarray(v) for k, v in result.items() if v is not None}
+    if deltas_method == "adjoint":
+        # One reverse-mode sweep through the whole valuation; replaces the
+        # pathwise delta series (NPV itself is unchanged: same sims, same
+        # policy).  Runs unsharded — the grad graph holds the full panels.
+        logger.info("Calculating adjoint (AD) deltas.")
+        with stopwatches.time("adjoint_deltas"):
+            fwd_dev = arrays["fwd"]
+            _npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
+                arrays,
+                spot_reg / fwd_dev[:, None], factors_reg,
+                spot_val / fwd_dev[:, None], factors_val,
+                jnp.asarray(inputs.starting_inventory, arrays["grids"].dtype),
+                monomials, int(extra_decisions or 0), bool(discount_deltas),
+                terminal_fn, inputs.compiled.ratchet_is_step,
+            )
+            result["deltas"] = np.asarray(deltas_ad)
     logger.info(
         "LSMC complete. Forward NPV %.2f (backward %.2f).",
         result["npv"], result["backward_npv"],

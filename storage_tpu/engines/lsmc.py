@@ -654,10 +654,13 @@ def lsmc_npv_and_ad_deltas(
     spot is reconstructed as ``fwd[t] * stoch[t]`` inside the differentiated
     graph, and d(NPV)/d(fwd) is one reverse-mode sweep.  The bang-bang argmax
     policy is almost-everywhere constant, so AD yields the envelope-theorem
-    gradient — the same estimator as the reference's hand-derived pathwise
-    formula, but extended to ratchet/constraint feedback for free.  Returns
-    (npv, deltas [N+1]) with deltas undiscounted unless ``discount_deltas``
-    (delta scaling mirrors the pathwise series: last entry 0).
+    gradient — under this model it reduces EXACTLY to the reference's
+    hand-derived pathwise formula (pinned by tests/test_ad_deltas_api.py);
+    its value is generality: the sweep stays exact for price models where
+    spot is not forward-proportional and for terminal-value structures the
+    hand formula ignores.  Returns (npv, deltas [N+1]) with deltas
+    undiscounted unless ``discount_deltas`` (delta scaling mirrors the
+    pathwise series: last entry 0).
     """
 
     def npv_of_fwd(fwd):
@@ -676,16 +679,11 @@ def lsmc_npv_and_ad_deltas(
     fwd = arrays["fwd"]
     npv, grad_fwd = jax.value_and_grad(npv_of_fwd)(fwd)
     if discount_deltas:
-        n = fwd.shape[0] - 1
-        df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
-        # value_and_grad discounts to valuation date already; the reference's
-        # DiscountDeltas=False divides the discount back out.
-        deltas = grad_fwd
-        del n, df
-    else:
-        df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
-        deltas = grad_fwd / df
-    return npv, deltas
+        # value_and_grad discounts to the valuation date already.
+        return npv, grad_fwd
+    # The reference's DiscountDeltas=False divides the discount back out.
+    df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
+    return npv, grad_fwd / df
 
 
 def build_engine_arrays(

@@ -74,6 +74,7 @@ class LsmcValuationParameters:
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL
     dtype: tp.Any = jnp.float32
+    deltas_method: str = "pathwise"
 
     @staticmethod
     def builder() -> "LsmcValuationParametersBuilder":
@@ -143,6 +144,15 @@ class LsmcValuationParametersBuilder:
     def with_dtype(self, dtype):
         return self._set("dtype", dtype)
 
+    def with_deltas_method(self, deltas_method: str):
+        """'pathwise' (reference formula) or 'adjoint' (reverse-mode AD of the
+        whole valuation wrt the forward curve — see multi_factor_value)."""
+        if deltas_method not in ("pathwise", "adjoint"):
+            raise ValueError(
+                f"deltas_method must be 'pathwise' or 'adjoint', got {deltas_method!r}."
+            )
+        return self._set("deltas_method", deltas_method)
+
     def simulate_with_multi_factor_model(
         self, factors, factor_corrs, num_sims: int,
         seed: tp.Optional[int] = None, fwd_sim_seed: tp.Optional[int] = None,
@@ -193,6 +203,7 @@ def lsmc_value(params: LsmcValuationParameters) -> MultiFactorValuationResults:
         sim_data_returned=params.sim_data_returned,
         dtype=params.dtype,
         cancellation_poll=params.cancellation_poll,
+        deltas_method=params.deltas_method,
     )
     spec = params.sim_spec
     if isinstance(spec, MultiFactorSimSpec):
