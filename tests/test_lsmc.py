@@ -115,7 +115,7 @@ class TestStorageLikeCallsBlack76:
         )
         result = multi_factor_value(
             storage, self.VAL_DATE, total_notional, fwd, rates, settlement_rule,
-            [(self.MEAN_REVERSION, vol)], None, 4000,
+            [(self.MEAN_REVERSION, vol)], None, 131_072,
             "1 + x0 + x0**2 + x0**3 + s", False, seed=11, fwd_sim_seed=13,
             num_inventory_grid_points=100, dtype=F64,
             sim_data_returned=SimulationDataReturned.NONE,
@@ -138,11 +138,12 @@ class TestStorageLikeCallsBlack76:
         result, fwd, vol, strikes = valuation
         expected = sum(self.expected_option_values(fwd, vol, strikes))
         pcnt_error = (result.npv - expected) / expected
-        # LSMC is a lower-bound estimator: within [-2%, 0%]
-        # (LsmcStorageValuationTest.cs:361-366).  Small MC noise can push the
-        # upper edge marginally above zero with an independent RNG; allow the
-        # band the reference uses plus a half standard error of slack.
-        slack = 0.5 * result.val_sim_standard_error / expected
+        # LSMC is a lower-bound estimator: within [-2%, 0%] in expectation
+        # (LsmcStorageValuationTest.cs:361-366).  At 131,072 sims the MC
+        # standard error is ~0.18%, so the upper edge gets a 2-SE allowance
+        # (~0.35%); a multi-seed study showed the estimator mean sits ~-0.2%
+        # with no upward bias.
+        slack = 2.0 * result.val_sim_standard_error / expected
         assert -0.02 <= pcnt_error <= slack
 
     def test_deltas_match_black76(self, valuation):
@@ -153,7 +154,8 @@ class TestStorageLikeCallsBlack76:
             t = (pd.Timestamp(expiry).date() - val_day).days / 365.0
             iv = one_factor_implied_vol(float(vol[p]), self.MEAN_REVERSION, t)
             expected_delta = black76_delta_undiscounted(float(fwd[p]), strikes[p], iv, t) * notional
-            assert result.deltas[p] == pytest.approx(expected_delta, rel=0.03)
+            # Reference band 2% (LsmcStorageValuationTest.cs:368-423).
+            assert result.deltas[p] == pytest.approx(expected_delta, rel=0.02)
 
     def test_deltas_zero_on_non_option_days(self, valuation):
         result, *_ = valuation
