@@ -29,6 +29,7 @@ from .api_lsmc import (
     three_factor_seasonal_value,
     multi_factor_value,
     value_from_sims,
+    value_from_sims_host_local,
 )
 from .basis import (
     parse_basis_functions,
@@ -79,6 +80,7 @@ __all__ = [
     "three_factor_seasonal_value",
     "multi_factor_value",
     "value_from_sims",
+    "value_from_sims_host_local",
     "MultiFactorModel",
     "MultiFactorSpotSim",
     "MultiFactorValuationResults",

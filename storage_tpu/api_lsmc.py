@@ -225,6 +225,63 @@ def value_from_sims(
     )
 
 
+def value_from_sims_host_local(
+    cmdty_storage: CmdtyStorage,
+    val_date: pu.PeriodSpec,
+    inventory: float,
+    fwd_curve: pd.Series,
+    interest_rates: tp.Union[float, pd.Series],
+    settlement_rule: tp.Optional[dsc.SettlementRule],
+    sim_spot_regress: pd.DataFrame,
+    sim_spot_valuation: pd.DataFrame,
+    basis_funcs: str,
+    discount_deltas: bool,
+    sim_factors_regress: tp.Optional[tp.Iterable[pd.DataFrame]] = None,
+    sim_factors_valuation: tp.Optional[tp.Iterable[pd.DataFrame]] = None,
+    extra_decisions: tp.Optional[int] = None,
+    num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
+    numerical_tolerance: float = 1e-12,
+    on_progress_update: ProgressCallback = None,
+    dtype=jnp.float32,
+    cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
+    deltas_method: str = "pathwise",
+) -> MultiFactorValuationResults:
+    """Multi-host ``value_from_sims``: the sim DataFrames are THIS PROCESS's
+    block of paths; blocks from all processes form the global panel (process
+    p owns global sims [p*S_local, (p+1)*S_local)).
+
+    Per-host row validation mirrors ``SpotSimResultsFromPanels.cs:56-72``
+    (period coverage, matching regression/valuation sim counts); cross-host
+    validation asserts every process contributes identically-shaped blocks.
+    Requires ``storage_tpu.parallel.distributed.initialize`` to have run in
+    every process.  Per-sim panels are not returned (each process only holds
+    its own shard), so there is no ``sim_data_returned`` parameter.
+    """
+    from .parallel import distributed as dist
+
+    def sims_provider(inputs: ValuationInputs):
+        reg = _frames_to_sims(sim_spot_regress, sim_factors_regress, inputs, "regress", dtype)
+        val = _frames_to_sims(
+            sim_spot_valuation, sim_factors_valuation, inputs, "valuation", dtype
+        )
+        if reg[0].shape[1] != val[0].shape[1]:
+            raise ValueError(
+                "Regression and valuation simulations must have the same number of sims."
+            )
+        mesh = dist.global_mesh()
+        spot_reg, fac_reg = dist.host_local_sims_to_global(reg[0], reg[1], mesh)
+        spot_val, fac_val = dist.host_local_sims_to_global(val[0], val[1], mesh)
+        return (spot_reg, fac_reg), (spot_val, fac_val)
+
+    return _lsmc_calc(
+        cmdty_storage, val_date, inventory, fwd_curve, interest_rates,
+        settlement_rule, sims_provider, basis_funcs, discount_deltas,
+        extra_decisions, num_inventory_grid_points, numerical_tolerance,
+        on_progress_update, SimulationDataReturned.NONE, dtype,
+        cancellation_poll=cancellation_poll, deltas_method=deltas_method,
+    )
+
+
 def _frames_to_sims(spot_frame, factor_frames, inputs: ValuationInputs, label, dtype):
     periods = inputs.periods
     spot = _align_frame(spot_frame, periods, f"sim_spot_{label}")
@@ -433,16 +490,31 @@ def _lsmc_calc(
     def panel(flag: SimulationDataReturned, data, index) -> pd.DataFrame:
         if not (sim_data_returned & flag) or data is None:
             return pd.DataFrame()
+        if isinstance(data, jax.Array) and not data.is_fully_addressable:
+            raise ValueError(
+                "Per-sim panels are not available in multi-process runs; use "
+                "sim_data_returned=SimulationDataReturned.NONE."
+            )
         return pd.DataFrame(data=np.asarray(data, dtype=np.float64), index=index)
 
-    factor_frames_reg = tuple(
-        panel(SimulationDataReturned.FACTORS_REGRESS, np.asarray(factors_reg)[:, i, :], periods)
-        for i in range(factors_reg.shape[1])
-    )
-    factor_frames_val = tuple(
-        panel(SimulationDataReturned.FACTORS_VALUATION, np.asarray(factors_val)[:, i, :], periods)
-        for i in range(factors_val.shape[1])
-    )
+    # Factor panels are converted lazily: np.asarray on a multi-process
+    # path-sharded array would touch non-addressable shards.
+    if sim_data_returned & SimulationDataReturned.FACTORS_REGRESS:
+        fac_reg_np = np.asarray(factors_reg)
+        factor_frames_reg = tuple(
+            panel(SimulationDataReturned.FACTORS_REGRESS, fac_reg_np[:, i, :], periods)
+            for i in range(factors_reg.shape[1])
+        )
+    else:
+        factor_frames_reg = tuple(pd.DataFrame() for _ in range(factors_reg.shape[1]))
+    if sim_data_returned & SimulationDataReturned.FACTORS_VALUATION:
+        fac_val_np = np.asarray(factors_val)
+        factor_frames_val = tuple(
+            panel(SimulationDataReturned.FACTORS_VALUATION, fac_val_np[:, i, :], periods)
+            for i in range(factors_val.shape[1])
+        )
+    else:
+        factor_frames_val = tuple(pd.DataFrame() for _ in range(factors_val.shape[1]))
 
     out = MultiFactorValuationResults(
         npv=float(result["npv"]),

@@ -259,11 +259,27 @@ def lsmc_core_from_sims(
     choice up to f32 reduction-order noise.
     """
     num_sims = spot_reg.shape[1]
+    multiprocess = jax.process_count() > 1
     if mesh is None:
         devices = jax.devices()
         if len(devices) > 1 and num_sims % len(devices) == 0:
             mesh = make_mesh()
     inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
+    if multiprocess:
+        # Host-replicated inputs must become global arrays to feed a jit that
+        # spans processes; sim panels are expected to be globally sharded
+        # already (distributed.host_local_sims_to_global).
+        from . import distributed as dist
+
+        if mesh is None:
+            mesh = dist.global_mesh()
+        if return_sim_data:
+            raise ValueError(
+                "Per-sim panels are not available in multi-process runs: each "
+                "process only holds its own path shard. Use "
+                "sim_data_returned=SimulationDataReturned.NONE."
+            )
+        arrays, inv0 = dist.replicate_to_global((arrays, inv0), mesh)
     if mesh is None or mesh.devices.size == 1 or num_sims % mesh.devices.size != 0:
         return lsmc_engine.lsmc_core(
             arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
