@@ -48,7 +48,10 @@ def main():
             terminal_fn=inputs.compiled.terminal_value, ratchet_is_step=False,
             return_sim_data=False,
         )
-        jax.block_until_ready(result["npv"])
+        # Force a device->host scalar transfer: on tunneled TPU backends
+        # jax.block_until_ready returns at dispatch, so only a host read
+        # gives a trustworthy end-to-end time.
+        float(result["npv"])
         return result
 
     result = run()  # compile + warmup
@@ -73,7 +76,9 @@ def main():
         records = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
         if records:
             with open(records[-1]) as f:
-                prev = json.load(f).get("value")
+                rec = json.load(f)
+            # Driver records nest the metric under "parsed"; accept both.
+            prev = (rec.get("parsed") or rec).get("value")
     except Exception:
         prev = None
     vs_baseline = value / prev if prev else 1.0

@@ -46,13 +46,22 @@ def forward_only(spot, factors, regression):
     )["npv"]
 
 
+def _force(out):
+    """Force a host transfer of one scalar per array leaf: on tunneled TPU
+    backends jax.block_until_ready returns at dispatch time, so timing must
+    read a value back."""
+    for leaf in jax.tree.leaves(out):
+        np_leaf = jax.numpy.ravel(leaf)
+        float(np_leaf[0]) if np_leaf.size else None
+    return out
+
+
 def bench(fn, *args, n=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _force(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts), out
 

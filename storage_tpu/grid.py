@@ -130,15 +130,29 @@ def _native_inventory_space(
     lib = native.load()
     if lib is None:
         return None
+    # Dense per-period bounds straight from the facility's arrays — avoiding
+    # per-period pandas Period construction keeps 10k+-step (hourly) horizons
+    # in the low milliseconds (see tests/test_hourly_stress.py).
+    min_all = np.asarray(storage._min_inv, dtype=np.float64)
+    max_all = np.asarray(storage._max_inv, dtype=np.float64)
+    min_inv = min_all[first_step:first_step + num_steps + 1].copy()
+    max_inv = max_all[first_step:first_step + num_steps + 1].copy()
+
     tables = []
     is_step_flags = set()
+    # Constraint objects are typically shared across long stretches of periods
+    # (one ratchet profile covering many steps) — memoise table construction.
+    table_cache: tp.Dict[tp.Tuple[int, float, float], tp.Any] = {}
     for t in range(num_steps):
         constraint = storage.constraint_at(first_step + t)
         if isinstance(constraint, con.PolynomialInjectWithdrawConstraint):
             return None  # exact polynomial inverse only in the Python path
-        inv, mn, mx, is_step = constraint.table(
-            storage.min_inventory(periods[t]), storage.max_inventory(periods[t])
-        )
+        key = (id(constraint), min_inv[t], max_inv[t])
+        entry = table_cache.get(key)
+        if entry is None:
+            entry = constraint.table(min_inv[t], max_inv[t])
+            table_cache[key] = entry
+        inv, mn, mx, is_step = entry
         tables.append((inv, mn, mx))
         is_step_flags.add(is_step)
     if len(is_step_flags) > 1:
@@ -153,13 +167,12 @@ def _native_inventory_space(
     node_inv = np.ascontiguousarray([t[0] for t in tables], dtype=np.float64)
     node_min = np.ascontiguousarray([t[1] for t in tables], dtype=np.float64)
     node_max = np.ascontiguousarray([t[2] for t in tables], dtype=np.float64)
-    min_inv = np.array([storage.min_inventory(p) for p in periods], dtype=np.float64)
-    max_inv = np.array([storage.max_inventory(p) for p in periods], dtype=np.float64)
     if storage.empty_at_end:
         min_inv[-1] = max_inv[-1] = 0.0
-    loss = np.array(
-        [storage._inventory_loss[first_step + t] for t in range(num_steps)],
-        dtype=np.float64,
+    loss = np.ascontiguousarray(
+        np.asarray(storage._inventory_loss, dtype=np.float64)[
+            first_step:first_step + num_steps
+        ]
     )
     lower = np.empty(num_steps + 1)
     upper = np.empty(num_steps + 1)

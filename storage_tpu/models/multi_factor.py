@@ -71,6 +71,10 @@ def validate_multi_factor_params(
 
 
 def _vol_lookup(vol_curve: CurveType, contract, freq: str) -> float:
+    # Convenience extension over the reference (utils.py:173 CurveType =
+    # Series | dict): a bare number means a flat vol curve.
+    if isinstance(vol_curve, (int, float, np.floating, np.integer)):
+        return float(vol_curve)
     if isinstance(vol_curve, pd.Series):
         key = contract if isinstance(contract, pd.Period) else pd.Period(contract, freq=freq)
         if key in vol_curve.index:
