@@ -30,10 +30,14 @@ def sim_only(key):
     )
 
 
+USE_PALLAS = lsmc_engine.resolve_use_pallas(None, NUM_SIMS, dtype)
+
+
 @partial(jax.jit, static_argnames=())
 def backward_only(spot, factors):
     v0, reg = lsmc_engine.lsmc_backward(
-        arrays, spot, factors, monomials, 0, terminal_fn, False, None
+        arrays, spot, factors, monomials, 0, terminal_fn, False, None,
+        use_pallas=USE_PALLAS,
     )
     return v0.sum(), jax.tree.map(lambda x: x, reg)
 
@@ -42,7 +46,7 @@ def backward_only(spot, factors):
 def forward_only(spot, factors, regression):
     return lsmc_engine.lsmc_forward(
         arrays, spot, factors, regression, inv0, monomials, 0, False,
-        terminal_fn, False, None, False,
+        terminal_fn, False, None, False, use_pallas=USE_PALLAS,
     )["npv"]
 
 

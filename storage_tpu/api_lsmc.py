@@ -72,6 +72,7 @@ def three_factor_seasonal_value(
     dtype=jnp.float32,
     antithetic: bool = False,
     deltas_method: str = "pathwise",
+    checkpoint_path: tp.Optional[str] = None,
 ) -> MultiFactorValuationResults:
     """3-factor seasonal LSMC valuation (reference ``multi_factor.py:99-135``).
 
@@ -95,6 +96,7 @@ def three_factor_seasonal_value(
         on_progress_update=on_progress_update,
         sim_data_returned=sim_data_returned, dtype=dtype, antithetic=antithetic,
         deltas_method=deltas_method,
+        checkpoint_path=checkpoint_path,
     )
 
 
@@ -121,6 +123,7 @@ def multi_factor_value(
     antithetic: bool = False,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
+    checkpoint_path: tp.Optional[str] = None,
 ) -> MultiFactorValuationResults:
     """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``).
 
@@ -175,6 +178,7 @@ def multi_factor_value(
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
+        checkpoint_path=checkpoint_path,
     )
 
 
@@ -199,6 +203,7 @@ def value_from_sims(
     dtype=jnp.float32,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
+    checkpoint_path: tp.Optional[str] = None,
 ) -> MultiFactorValuationResults:
     """Valuation from user-supplied spot/factor simulations (reference
     ``multi_factor.py:171-208`` / ``SpotSimResultsFromPanels.cs:36-117``).
@@ -222,6 +227,7 @@ def value_from_sims(
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
+        checkpoint_path=checkpoint_path,
     )
 
 
@@ -245,6 +251,7 @@ def value_from_sims_host_local(
     dtype=jnp.float32,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
+    checkpoint_path: tp.Optional[str] = None,
 ) -> MultiFactorValuationResults:
     """Multi-host ``value_from_sims``: the sim DataFrames are THIS PROCESS's
     block of paths; blocks from all processes form the global panel (process
@@ -279,6 +286,7 @@ def value_from_sims_host_local(
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, SimulationDataReturned.NONE, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
+        checkpoint_path=checkpoint_path,
     )
 
 
@@ -326,8 +334,14 @@ def _lsmc_calc(
     dtype,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
+    checkpoint_path: tp.Optional[str] = None,
 ) -> MultiFactorValuationResults:
     del numerical_tolerance  # API parity; device kernels are branchless
+    if checkpoint_path is not None and not isinstance(basis_funcs, str):
+        raise ValueError(
+            "checkpoint_path requires basis_funcs as a string (checkpoints "
+            "persist the basis DSL, not combinator objects)."
+        )
     if deltas_method not in ("pathwise", "adjoint"):
         raise ValueError(
             f"deltas_method must be 'pathwise' or 'adjoint', got {deltas_method!r}."
@@ -429,8 +443,27 @@ def _lsmc_calc(
             monomials, int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
             inputs.compiled.ratchet_is_step,
             return_sim_data=wants_sim_data,
+            return_regression=checkpoint_path is not None,
         )
         result = {k: np.asarray(v) for k, v in result.items() if v is not None}
+    if checkpoint_path is not None:
+        # Persist the backward->forward hand-off so later forward-only
+        # re-pricings skip the backward induction (checkpoint.py; the
+        # artifact the reference keeps in-memory in regressCoeffsBuilder,
+        # LsmcStorageValuation.cs:159,360).
+        from .checkpoint import make_checkpoint
+
+        regression = {
+            "mean": result.pop("regression_mean"),
+            "std": result.pop("regression_std"),
+            "coeffs": result.pop("regression_coeffs"),
+        }
+        make_checkpoint(
+            {k: np.asarray(v) for k, v in arrays.items()}, regression,
+            basis_funcs, inputs.starting_inventory, int(extra_decisions or 0),
+            bool(discount_deltas), inputs.compiled.ratchet_is_step,
+            must_be_empty_at_end=terminal_fn is None,
+        ).save(checkpoint_path)
     if deltas_method == "adjoint":
         # One reverse-mode sweep through the whole valuation; replaces the
         # pathwise delta series (NPV itself is unchanged: same sims, same

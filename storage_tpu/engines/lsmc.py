@@ -56,7 +56,13 @@ from ..facility import CompiledStorage
 from ..ops import interp
 from ..ops import decision_kernel
 from ..ops import forward_kernel
-from ..ops.regression import column_stats, fit_continuation, predict
+from ..ops.regression import (
+    column_stats,
+    fit_continuation,
+    fit_from_moments,
+    predict,
+    standardise_moments,
+)
 from .intrinsic import immediate_pv
 
 NUM_TRIGGER_PRICE_VOLUMES = 10  # LsmcStorageValuation.cs:383
@@ -150,9 +156,17 @@ def lsmc_backward(
     ratchet_is_step: bool,
     axis_name: tp.Optional[str],
     use_pallas: bool = False,
+    snap_interp: tp.Optional[bool] = None,
 ):
     """Backward induction.  Returns (v0 [G, S] values at the first period,
-    regression payload dict of stacked per-step arrays [N, ...])."""
+    regression payload dict of stacked per-step arrays [N, ...]).
+
+    ``snap_interp`` rounds interpolation weights to the 1/256 grid (the
+    quadrature the Pallas kernel requires for exact 2-pass bf16 interpolation);
+    defaults to ``use_pallas`` so the XLA path can be run on the identical
+    quadrature for equivalence testing."""
+    if snap_interp is None:
+        snap_interp = use_pallas
     grids = arrays["grids"]
     n = grids.shape[0] - 1
 
@@ -187,15 +201,15 @@ def lsmc_backward(
     }
 
     num_decisions = 2 * num_extra_decisions + 3
+    # The fully fused path additionally accumulates the next step's raw
+    # regression moments inside the decision kernel (one pass over the value
+    # panel instead of two); it needs at least one simulated factor panel to
+    # build the design matrix on-tile.
+    use_fused_moments = use_pallas and factors_reg.shape[1] > 0
 
-    def backward_step(v_act_next, x):
-        # Regression of next-period value on this period's state
-        # (LsmcStorageValuation.cs:191-212, via normal equations).
-        dm = design_matrix(monomials, x["spot"], x["factors"])  # [S, B]
-        mean, std = column_stats(dm, axis_name)
-        dm_std = (dm - mean) / std
-        coeffs = fit_continuation(dm_std, v_act_next.T, axis_name)  # [B, G]
-
+    def step_prep(x, coeffs):
+        """Decision set, snapped interpolation, coefficient interpolation and
+        immediate-PV decomposition for one backward step."""
         grid_t = x["grid"]
         min_rate, max_rate = gridmod.ratchet_rates(
             x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"], ratchet_is_step, grid_t
@@ -207,6 +221,12 @@ def lsmc_backward(
         loss = x["loss_pcnt"] * grid_t  # [G]
         inv_after = grid_t[:, None] + decisions - loss[:, None]  # [G, D]
         idx_lo, w_hi = interp.interp_weights(x["grid_next"], inv_after)  # [G, D]
+        if snap_interp:
+            # Snapped weights make the hat matrix exactly bf16-representable
+            # (2-pass exact interpolation in the kernel); use the same snapped
+            # quadrature for the coefficient interpolation so regressed and
+            # actual continuations target identical inventories.
+            w_hi = decision_kernel.snap_weights(w_hi)
 
         # Regressed continuation at every (grid, decision) target inventory:
         # interpolate in coefficient space (linear interp commutes with the
@@ -219,6 +239,68 @@ def lsmc_backward(
         a, b, _consumed = _decision_cashflow_coeffs(decisions, x)  # [G, D]
         inv_cost_npv = x["inv_cost_rate"] * grid_t * x["df_flow"]  # [G]
         b = b - inv_cost_npv[:, None]
+        return idx_lo, w_hi, ci, a, b
+
+    def backward_step_fused(carry, x):
+        # Moments of this step's design matrix (centred/scaled by the NEXT
+        # step's stats, u-coordinates) against the next period's values arrive
+        # in the carry, accumulated inside the previous kernel call; recover
+        # the exactly-standardised system and compose the affine transform.
+        v_act_next, xtx_u, xty_u, c, s = carry
+        xtx_g = _psum(xtx_u, axis_name)
+        xty_g = _psum(xty_u, axis_name)
+        m_std, xty_std, mu_u, sig_u = standardise_moments(xtx_g, xty_g)
+        mean = c + s * mu_u
+        std = s * sig_u
+        coeffs = fit_from_moments(m_std, xty_std)  # [B, G]
+
+        idx_lo, w_hi, ci, a, b = step_prep(x, coeffs)
+        g_next = x["grid_next"].shape[0]
+        w_mat = decision_kernel.interp_weight_matrix(
+            idx_lo, w_hi, g_next, coeffs.dtype
+        )
+        spot = x["spot"]
+        prev = jnp.maximum(x["idx"] - 1, 0)
+        spot_prev = jax.lax.dynamic_index_in_dim(spot_reg, prev, keepdims=False)
+        fac_prev = jax.lax.dynamic_index_in_dim(factors_reg, prev, keepdims=False)
+        best_act, xtx_next, xty_next = decision_kernel.decision_update_moments_pallas(
+            v_act_next, spot, x["factors"], spot_prev, fac_prev, mean, std,
+            w_mat, jnp.transpose(ci, (2, 1, 0)), a.T, b.T,
+            monomials, sim_tile=decision_kernel.pick_sim_tile(spot.shape[0]),
+        )
+        return (best_act, xtx_next, xty_next, mean, std), {
+            "mean": mean, "std": std, "coeffs": coeffs,
+        }
+
+    if use_fused_moments:
+        # Bootstrap: moments of the LAST step's design matrix against the
+        # terminal values, standardised with exact two-pass stats (every
+        # later step's moments come out of the kernel in u-coordinates).
+        dm_last = design_matrix(monomials, spot_reg[n - 1], factors_reg[n - 1])
+        mean0, std0 = column_stats(dm_last, axis_name)
+        u0 = (dm_last - mean0) / std0
+        hi = jax.lax.Precision.HIGHEST
+        xtx0 = jnp.dot(u0.T, u0, preferred_element_type=grids.dtype,
+                       precision=hi)
+        xty0 = jnp.dot(u0.T, v_end.T, preferred_element_type=grids.dtype,
+                       precision=hi)
+        per_step_fm = dict(per_step)
+        per_step_fm["idx"] = jnp.arange(n)
+        (v0, _, _, _, _), regression = jax.lax.scan(
+            backward_step_fused, (v_end, xtx0, xty0, mean0, std0), per_step_fm,
+            reverse=True,
+        )
+        return v0, regression
+
+    def backward_step(v_act_next, x):
+        # Regression of next-period value on this period's state
+        # (LsmcStorageValuation.cs:191-212, via normal equations).
+        dm = design_matrix(monomials, x["spot"], x["factors"])  # [S, B]
+        mean, std = column_stats(dm, axis_name)
+        dm_std = (dm - mean) / std
+        coeffs = fit_continuation(dm_std, v_act_next.T, axis_name)  # [B, G]
+
+        idx_lo, w_hi, ci, a, b = step_prep(x, coeffs)
 
         spot = x["spot"]  # [S]
         if use_pallas:
@@ -593,6 +675,8 @@ def lsmc_forward(
         "axis_name",
         "return_sim_data",
         "use_pallas",
+        "return_regression",
+        "snap_interp",
     ),
 )
 def lsmc_core(
@@ -610,10 +694,12 @@ def lsmc_core(
     axis_name: tp.Optional[str] = None,
     return_sim_data: bool = False,
     use_pallas: bool = False,
+    return_regression: bool = False,
+    snap_interp: tp.Optional[bool] = None,
 ) -> tp.Dict[str, jnp.ndarray]:
     v0, regression = lsmc_backward(
         arrays, spot_reg, factors_reg, monomials, num_extra_decisions, terminal_fn,
-        ratchet_is_step, axis_name, use_pallas=use_pallas,
+        ratchet_is_step, axis_name, use_pallas=use_pallas, snap_interp=snap_interp,
     )
     result = lsmc_forward(
         arrays, spot_val, factors_val, regression, starting_inventory, monomials,
@@ -623,6 +709,14 @@ def lsmc_core(
     # Backward (upper-ish) estimate: mean over sims of the first-period values at
     # the known starting inventory (grid[0] is degenerate) — LsmcStorageValuation.cs:623.
     result["backward_npv"] = _global_mean_over_sims(v0[0], axis_name)
+    if return_regression:
+        # Per-step regression payload (the backward->forward hand-off the
+        # reference keeps in regressCoeffsBuilder, LsmcStorageValuation.cs:159)
+        # — identical on every path shard after the moments psum, so it is a
+        # replicated output; used to persist RegressionCheckpoints.
+        result["regression_mean"] = regression["mean"]
+        result["regression_std"] = regression["std"]
+        result["regression_coeffs"] = regression["coeffs"]
     return result
 
 

@@ -75,6 +75,7 @@ class LsmcValuationParameters:
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL
     dtype: tp.Any = jnp.float32
     deltas_method: str = "pathwise"
+    checkpoint_path: tp.Optional[str] = None
 
     @staticmethod
     def builder() -> "LsmcValuationParametersBuilder":
@@ -153,6 +154,15 @@ class LsmcValuationParametersBuilder:
             )
         return self._set("deltas_method", deltas_method)
 
+    def with_checkpoint_path(self, path: str):
+        """Persist the backward pass's regression payload to ``path`` after the
+        valuation (checkpoint.RegressionCheckpoint) — later market moves can be
+        re-priced forward-only with ``checkpoint.revalue_from_checkpoint``
+        without re-running the backward induction.  The persistable artifact
+        the reference keeps only in memory (regressCoeffsBuilder,
+        LsmcStorageValuation.cs:159,360)."""
+        return self._set("checkpoint_path", str(path))
+
     def simulate_with_multi_factor_model(
         self, factors, factor_corrs, num_sims: int,
         seed: tp.Optional[int] = None, fwd_sim_seed: tp.Optional[int] = None,
@@ -204,6 +214,7 @@ def lsmc_value(params: LsmcValuationParameters) -> MultiFactorValuationResults:
         dtype=params.dtype,
         cancellation_poll=params.cancellation_poll,
         deltas_method=params.deltas_method,
+        checkpoint_path=params.checkpoint_path,
     )
     spec = params.sim_spec
     if isinstance(spec, MultiFactorSimSpec):

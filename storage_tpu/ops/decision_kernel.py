@@ -19,13 +19,32 @@ Both continuations become MXU matmuls on the tile:
 * actual:    ``W[d] @ v_tile``   where ``W[d]`` [G, G] holds the two linear
   interpolation hat weights per row (linear interpolation in inventory as a
   sparse-in-dense matrix — gathers along the sublane axis are slow on TPU);
-* regressed: ``ci[d] @ dm_tile`` where ``ci[d]`` [G, B] are the regression
-  coefficients pre-interpolated to each (g, d) target inventory (linear
-  interpolation commutes with the linear model).
+* regressed: ``dci[d] @ dm_tile`` where ``dci[d] = ci[d] - ci[0]`` [G, B] are
+  the *differences* of the regression coefficients pre-interpolated to each
+  (g, d) target inventory (linear interpolation commutes with the linear
+  model).
 
 The running argmax matches the reference's anti-foresight trick: argmax on
 REGRESSED values while realising ACTUAL values, first decision wins ties
 (LsmcStorageValuation.cs:310-336).
+
+Two MXU-pass reductions keep the kernel fast without losing estimator
+quality (measured on v5e):
+
+* **Snapped hat weights.** ``snap_weights`` rounds the interpolation weight
+  to the 1/256 grid, which makes both ``w`` and ``1 - w`` exactly
+  representable in bfloat16 — the hat matmul then needs only TWO native-bf16
+  passes (``W @ v_hi + W @ v_lo``) for *exact* f32-grade interpolation.  The
+  snap is a deterministic 2^-8-of-a-grid-cell quadrature perturbation (the
+  inventory grid itself discretises far more coarsely), applied consistently
+  to the actual-continuation operator and the coefficient interpolation.
+* **Centred regressed values.** The argmax only needs the ORDER of the
+  regressed values, which is invariant to subtracting decision 0's fitted
+  continuation from every decision.  Computing ``q_d = (ci_d - ci_0) @ dm``
+  instead of two large, nearly-cancelling predictions both skips the d = 0
+  matmul entirely and evaluates the decision *gap* directly in coefficient
+  space, so split-precision error scales with the gap rather than with the
+  value level.
 """
 from __future__ import annotations
 
@@ -64,37 +83,62 @@ def _dot3(a_hi, a_lo, b_hi, b_lo):
     )
 
 
-def _kernel(v_ref, dm_ref, spot_ref, w_ref, ci_ref, a_ref, b_ref, out_ref,
-            *, num_decisions: int):
+def snap_weights(w):
+    """Round interpolation weights to the 1/256 grid: both ``w`` and ``1 - w``
+    become exactly representable in bfloat16 (8 significand bits), so the hat
+    matmul is exact in two native-bf16 passes.  The positional perturbation is
+    ≤ 2^-9 of one grid cell — far inside the grid's own discretisation."""
+    return jnp.round(w * 256.0) / 256.0
+
+
+def _kernel(v_ref, dm_ref, spot_ref, w_ref, dci_ref, a_ref, b_ref, out_ref,
+            *, num_decisions: int, pred_passes: int):
+    f32 = jnp.float32
     v = v_ref[...]        # [G, St] actual next-period values
     dm = dm_ref[...]      # [B, St] standardised design matrix (transposed)
     spot = spot_ref[...]  # [1, St]
     v_hi, v_lo = _split_bf16(v)
     dm_hi, dm_lo = _split_bf16(dm)
 
-    best_reg = None
-    best_act = None
-    for d in range(num_decisions):
-        # Actual continuation: linear interp in inventory as an MXU matmul —
-        # this is the value function carried across all backward steps, so it
-        # needs ~f32 fidelity (see _dot3 note on the failed 2-pass variant).
-        w_hi, w_lo = _split_bf16(w_ref[d])
-        c_act = _dot3(w_hi, w_lo, v_hi, v_lo)  # [G, St]
-        # Regressed continuation at the (g, d) target inventory.  This drives
-        # the decision ARGMAX, which on a lower-bound estimator must also stay
-        # near-f32: single-pass bf16 here systematically biases NPV down ~1.4%
-        # (misselected decisions only ever lose value).
-        ci_hi, ci_lo = _split_bf16(ci_ref[d])
-        pred = _dot3(ci_hi, ci_lo, dm_hi, dm_lo)  # [G, St]
-        imm = a_ref[d] * spot + b_ref[d]  # [G, 1] x [1, St] -> [G, St]
-        vr = pred + imm
-        va = c_act + imm
-        if d == 0:
-            best_reg, best_act = vr, va
+    def hat(d):
+        # Actual continuation: linear interp in inventory as an MXU matmul.
+        # This is the value function carried across all backward steps, so it
+        # needs f32 fidelity — with snapped weights (exactly bf16) two passes
+        # give exactly that (only v's own bf16-pair rounding remains, ~2^-16).
+        w_bf = w_ref[d]  # bf16, exact
+        return (
+            jnp.dot(w_bf, v_hi, preferred_element_type=f32)
+            + jnp.dot(w_bf, v_lo, preferred_element_type=f32)
+        )
+
+    # Decision 0 is the comparison baseline: its regressed continuation is
+    # subtracted from every decision, so its own comparison value is just the
+    # immediate part.  Order (and ties: first decision wins) is unchanged.
+    imm0 = a_ref[0] * spot + b_ref[0]  # [G, 1] x [1, St] -> [G, St]
+    best_reg = imm0
+    best_act = hat(0) + imm0
+    for d in range(1, num_decisions):
+        # Regressed continuation GAP vs decision 0 at the (g, d) target
+        # inventories.  Drives the decision ARGMAX on a lower-bound estimator:
+        # full-magnitude single-pass bf16 biased NPV down ~1.4% (misselected
+        # decisions only ever lose value), but on the centred gap the
+        # split-precision error scales with the gap itself: 2 passes measured
+        # NPV within 0.015 MC standard errors of 3 at the benchmark config
+        # (115,059.6 vs 115,061.1, se 102) — default 2, 3 available.
+        dci_hi, dci_lo = _split_bf16(dci_ref[d])
+        if pred_passes >= 3:
+            q = _dot3(dci_hi, dci_lo, dm_hi, dm_lo)  # [G, St]
         else:
-            better = vr > best_reg
-            best_reg = jnp.where(better, vr, best_reg)
-            best_act = jnp.where(better, va, best_act)
+            q = (
+                jnp.dot(dci_hi, dm_hi, preferred_element_type=f32)
+                + jnp.dot(dci_hi, dm_lo, preferred_element_type=f32)
+            )
+        imm = a_ref[d] * spot + b_ref[d]
+        vr = q + imm
+        va = hat(d) + imm
+        better = vr > best_reg
+        best_reg = jnp.where(better, vr, best_reg)
+        best_act = jnp.where(better, va, best_act)
     out_ref[...] = best_act
 
 
@@ -105,25 +149,139 @@ def pick_sim_tile(num_sims: int) -> int:
     return 0  # no aligned tile — caller falls back to the XLA path
 
 
-@functools.partial(jax.jit, static_argnames=("sim_tile", "interpret"))
+def _build_design_rows(monomials, spot, factors):
+    """Design-matrix rows [B, St] evaluated on a tile (VPU, unrolled) —
+    shared shape logic with forward_kernel._build_design."""
+    rows = []
+    for m in monomials:
+        row = jnp.ones_like(spot)
+        if m.spot_power:
+            p = spot
+            for _ in range(m.spot_power - 1):
+                p = p * spot
+            row = row * p
+        for idx, power in m.factor_powers:
+            f = factors[idx : idx + 1]
+            p = f
+            for _ in range(power - 1):
+                p = p * f
+            row = row * p
+        rows.append(row)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _kernel_moments(v_ref, spot_ref, fac_ref, spot_prev_ref, fac_prev_ref,
+                    mean_ref, std_ref, w_ref, dci_ref, a_ref, b_ref,
+                    out_ref, xtx_ref, xty_t_ref,
+                    *, monomials, num_decisions: int, pred_passes: int):
+    """Decision update + raw regression moments for the NEXT backward step.
+
+    Identical decision logic to ``_kernel`` but with the design matrix built
+    in-VMEM from the simulated spot/factors (no [S, B] HBM materialisation),
+    plus on-tile accumulation of the raw normal-equation moments
+    ``XᵀX [B, B]`` and ``(Xᵀv)ᵀ [G, B]`` of step t-1's design matrix against
+    this step's output values — the operands are already resident, so the
+    extra HBM traffic of a separate regression pass (a second full read of
+    the value panel) disappears.  Standardisation happens analytically on the
+    [B, B] moments outside (ops/regression.standardise_moments).
+    """
+    f32 = jnp.float32
+    v = v_ref[...]        # [G, St]
+    spot = spot_ref[...]  # [1, St]
+    dm = _build_design_rows(monomials, spot, fac_ref[...])  # [B, St] raw
+    dm = (dm - mean_ref[...]) / std_ref[...]                # standardised
+    v_hi, v_lo = _split_bf16(v)
+    dm_hi, dm_lo = _split_bf16(dm)
+
+    def hat(d):
+        w_bf = w_ref[d]  # bf16, exact (snapped weights)
+        return (
+            jnp.dot(w_bf, v_hi, preferred_element_type=f32)
+            + jnp.dot(w_bf, v_lo, preferred_element_type=f32)
+        )
+
+    imm0 = a_ref[0] * spot + b_ref[0]
+    best_reg = imm0
+    best_act = hat(0) + imm0
+    for d in range(1, num_decisions):
+        dci_hi, dci_lo = _split_bf16(dci_ref[d])
+        if pred_passes >= 3:
+            q = _dot3(dci_hi, dci_lo, dm_hi, dm_lo)
+        else:
+            q = (
+                jnp.dot(dci_hi, dm_hi, preferred_element_type=f32)
+                + jnp.dot(dci_hi, dm_lo, preferred_element_type=f32)
+            )
+        imm = a_ref[d] * spot + b_ref[d]
+        vr = q + imm
+        va = hat(d) + imm
+        better = vr > best_reg
+        best_reg = jnp.where(better, vr, best_reg)
+        best_act = jnp.where(better, va, best_act)
+    out_ref[...] = best_act
+
+    # ---- moments of step t-1's design matrix vs this step's values, in
+    # centred/scaled coordinates u = (x - mean_t)/std_t.  Raw moments would
+    # need the one-pass variance subtraction E[x²] - E[x]², which cancels
+    # catastrophically in f32 for near-deterministic columns (measured ~2%
+    # prediction error); with the adjacent step's stats as the centre the
+    # u-columns are O(1) with near-zero mean, and the EXACT standardisation
+    # of u happens losslessly outside (regression.standardise_moments +
+    # affine composition back to x-coordinates).
+    dmp = _build_design_rows(monomials, spot_prev_ref[...], fac_prev_ref[...])
+    dmp = (dmp - mean_ref[...]) / std_ref[...]
+    b_dim = dmp.shape[0]
+    # XᵀX on the VPU: an MXU dot would pad both 9-dims to 128 (~200x waste).
+    cols = []
+    for i in range(b_dim):
+        cols.append(jnp.sum(dmp[i : i + 1] * dmp, axis=1, keepdims=True))  # [B, 1]
+    xtx_partial = jnp.concatenate(cols, axis=1)  # [B, B]
+    # (Xᵀv)ᵀ on the MXU: [G, St] x [B, St] contracted over sims, split
+    # precision (3 passes ~ f32, dropping only the lo x lo term).
+    dmp_hi, dmp_lo = _split_bf16(dmp)
+    ba_hi, ba_lo = _split_bf16(best_act)
+    dn = (((1,), (1,)), ((), ()))
+    xty_t_partial = (
+        jax.lax.dot_general(ba_hi, dmp_hi, dn, preferred_element_type=f32)
+        + jax.lax.dot_general(ba_hi, dmp_lo, dn, preferred_element_type=f32)
+        + jax.lax.dot_general(ba_lo, dmp_hi, dn, preferred_element_type=f32)
+    )  # [G, B]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        xtx_ref[...] = jnp.zeros_like(xtx_ref)
+        xty_t_ref[...] = jnp.zeros_like(xty_t_ref)
+
+    xtx_ref[...] += xtx_partial
+    xty_t_ref[...] += xty_t_partial
+
+
+@functools.partial(jax.jit, static_argnames=("sim_tile", "interpret", "pred_passes"))
 def decision_update_pallas(
     v_act_next: jnp.ndarray,  # [G, S] f32
     dm_std_t: jnp.ndarray,    # [B, S] f32
     spot: jnp.ndarray,        # [S] f32
-    w: jnp.ndarray,           # [D, G, G] interp-weight matrices
+    w: jnp.ndarray,           # [D, G, G] interp-weight matrices (snapped weights)
     ci: jnp.ndarray,          # [D, G, B] interpolated regression coeffs
     a: jnp.ndarray,           # [D, G] immediate-pv spot coefficient
     b: jnp.ndarray,           # [D, G] immediate-pv constant
     sim_tile: int,
     interpret: bool = False,
+    pred_passes: int = 2,
 ) -> jnp.ndarray:
     g, s = v_act_next.shape
     b_dim = dm_std_t.shape[0]
     d = w.shape[0]
     grid = (s // sim_tile,)
-    flops_per_tile = 2 * g * sim_tile * (g + b_dim) * d
+    flops_per_tile = 2 * g * sim_tile * (g * d + b_dim * (d - 1))
+    # Hat weights built from snap_weights values are exactly representable in
+    # bf16; the cast costs nothing numerically and halves their VMEM footprint.
+    w_bf = w.astype(jnp.bfloat16)
+    # Centred coefficient gaps: decision 0's fitted continuation is the argmax
+    # baseline, so only the D-1 gap matmuls remain.
+    dci = ci - ci[0:1]
     return pl.pallas_call(
-        functools.partial(_kernel, num_decisions=d),
+        functools.partial(_kernel, num_decisions=d, pred_passes=pred_passes),
         out_shape=jax.ShapeDtypeStruct((g, s), v_act_next.dtype),
         grid=grid,
         in_specs=[
@@ -146,11 +304,99 @@ def decision_update_pallas(
         v_act_next,
         dm_std_t,
         spot[None, :],
-        w,
-        ci,
+        w_bf,
+        dci,
         a[..., None],
         b[..., None],
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("monomials", "sim_tile", "interpret", "pred_passes"),
+)
+def decision_update_moments_pallas(
+    v_act_next: jnp.ndarray,   # [G, S] f32
+    spot: jnp.ndarray,         # [S] f32 step-t spot
+    factors: jnp.ndarray,      # [F, S] f32 step-t factors
+    spot_prev: jnp.ndarray,    # [S] f32 step-(t-1) spot
+    factors_prev: jnp.ndarray, # [F, S] f32 step-(t-1) factors
+    mean: jnp.ndarray,         # [B] step-t design-matrix column means
+    std: jnp.ndarray,          # [B] step-t design-matrix column stds
+    w: jnp.ndarray,            # [D, G, G] interp-weight matrices (snapped)
+    ci: jnp.ndarray,           # [D, G, B] interpolated regression coeffs
+    a: jnp.ndarray,            # [D, G]
+    b: jnp.ndarray,            # [D, G]
+    monomials,
+    sim_tile: int,
+    interpret: bool = False,
+    pred_passes: int = 2,
+):
+    """Fused decision update + next-step regression moments.
+
+    Returns (best_act [G, S], xtx_u [B, B], xty_u [B, G]) where the moments
+    are of step t-1's design matrix CENTRED/SCALED by this step's
+    (mean, std) — i.e. of u = (x - mean)/std — against best_act.  The caller
+    recovers the exactly-standardised system with
+    ``regression.standardise_moments`` and composes the affine transform
+    (mean_{t-1} = mean + std·μ_u, std_{t-1} = std·σ_u)."""
+    g, s = v_act_next.shape
+    b_dim = len(monomials)
+    f_dim = factors.shape[0]
+    d = w.shape[0]
+    grid = (s // sim_tile,)
+    w_bf = w.astype(jnp.bfloat16)
+    dci = ci - ci[0:1]
+    best_act, xtx, xty_t = pl.pallas_call(
+        functools.partial(
+            _kernel_moments, monomials=tuple(monomials), num_decisions=d,
+            pred_passes=pred_passes,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, s), v_act_next.dtype),
+            jax.ShapeDtypeStruct((b_dim, b_dim), v_act_next.dtype),
+            jax.ShapeDtypeStruct((g, b_dim), v_act_next.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, sim_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sim_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_dim, sim_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sim_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_dim, sim_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_dim, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_dim, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, g, g), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, g, b_dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, g, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, g, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, sim_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_dim, b_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, b_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * s * (g * d + b_dim * (d - 1) + b_dim)
+            + 2 * b_dim * b_dim * s,
+            bytes_accessed=4 * s * (2 * g + 2 * (f_dim + 1)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        v_act_next,
+        spot[None, :],
+        factors,
+        spot_prev[None, :],
+        factors_prev,
+        mean[:, None],
+        std[:, None],
+        w_bf,
+        dci,
+        a[..., None],
+        b[..., None],
+    )
+    return best_act, xtx, xty_t.T
 
 
 def interp_weight_matrix(idx_lo: jnp.ndarray, w_hi: jnp.ndarray, g_next: int,

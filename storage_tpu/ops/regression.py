@@ -71,8 +71,6 @@ def fit_continuation(
     falls back to the projection on the constant column — the cross-sim mean —
     instead of poisoning the backward scan with NaNs.
     """
-    if ridge is None:
-        ridge = 1e-5 if x_std.dtype == jnp.float32 else 1e-7
     # precision=HIGHEST: TPU matmuls default to bf16 operand precision, which
     # is too coarse for the normal-equation moments that set decision quality.
     m = _psum(
@@ -91,6 +89,58 @@ def fit_continuation(
         ),
         axis_name,
     )
+    return fit_from_moments(m, xty, ridge)
+
+
+def standardise_moments(xtx_raw, xty_raw):
+    """Standardised normal-equation system from RAW moments.
+
+    Given ``xtx_raw = XᵀX`` [B, B] and ``xty_raw = XᵀY`` [B, G] of the raw
+    design matrix (column 0 all-ones), returns ``(m, xty, mean, std)`` of the
+    column-standardised system — algebraically identical to standardising X
+    first (two-pass ``column_stats``), derived from the moments alone:
+
+        n = XᵀX[0,0]; μ = XᵀX[0,:]/n; var = diag(XᵀX)/n − μ²
+        X̃ᵀX̃ = D⁻¹(XᵀX − n μμᵀ)D⁻¹;  X̃ᵀY = D⁻¹(XᵀY − μ·(XᵀY)[0,:])
+
+    The one-pass variance subtraction can cancel catastrophically in f32 when
+    a column is nearly deterministic; a wrong-but-positive std only rescales
+    the solve (predictions are invariant to the scaling as long as the same
+    mean/std standardise the design matrix), and the ridge + Cholesky
+    fallback in ``fit_from_moments`` covers genuine singularity, so var is
+    simply clamped at zero.
+    """
+    b = xtx_raw.shape[0]
+    n = xtx_raw[0, 0]
+    # True column means — mu_true[0] == 1 (the constant column), which is
+    # what the bilinear subtraction needs so that row/column 0 of the
+    # standardised Gram matrix comes out exactly 0 (X̃_0 stays the raw
+    # constant, every other X̃_j has mean 0).
+    mu_true = xtx_raw[0] / n
+    ex2 = jnp.diagonal(xtx_raw) / n
+    first = jnp.arange(b) == 0
+    mean = jnp.where(first, 0.0, mu_true)
+    var = ex2 - mean**2
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    std = jnp.where(std > 0, std, 1.0)
+    std = jnp.where(first, 1.0, std)
+    m = (xtx_raw - n * mu_true[:, None] * mu_true[None, :]) / (
+        std[:, None] * std[None, :]
+    )
+    # [0, 0] = n - n·1·1 under the subtraction; the constant column's true
+    # sum of squares is n.
+    m = m.at[0, 0].set(n)
+    xty = (xty_raw - mean[:, None] * xty_raw[0:1, :]) / std[:, None]
+    return m, xty, mean, std
+
+
+def fit_from_moments(m, xty, ridge: tp.Optional[float] = None):
+    """Solve the standardised normal equations given assembled moments
+    (``m = X̃ᵀX̃`` [B, B], ``xty = X̃ᵀY`` [B, G]) — the shared tail of
+    ``fit_continuation``: trace-scaled ridge jitter, Cholesky, and the
+    constant-column fallback on a failed solve."""
+    if ridge is None:
+        ridge = 1e-5 if m.dtype == jnp.float32 else 1e-7
     b = m.shape[0]
     jitter = ridge * jnp.trace(m) / b
     m = m + jitter * jnp.eye(b, dtype=m.dtype)

@@ -191,19 +191,20 @@ def sim_inputs_from_precompute(pre: SimulationPrecompute, fwd: np.ndarray, dtype
     static_argnames=(
         "mesh", "monomials", "num_extra_decisions", "discount_deltas",
         "terminal_fn", "ratchet_is_step", "return_sim_data", "use_pallas",
+        "return_regression",
     ),
 )
 def _sharded_from_sims_jit(
     arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
     *, mesh, monomials, num_extra_decisions, discount_deltas, terminal_fn,
-    ratchet_is_step, return_sim_data, use_pallas,
+    ratchet_is_step, return_sim_data, use_pallas, return_regression=False,
 ):
     def shard_fn(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0):
         return lsmc_engine.lsmc_core(
             arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, return_regression=return_regression,
         )
 
     sharded_keys = {
@@ -223,6 +224,10 @@ def _sharded_from_sims_jit(
     if return_sim_data:
         for k in sharded_keys:
             out_specs[k] = P(None, AXIS)
+    if return_regression:
+        # Identical on every shard after the moments psum.
+        for k in ("regression_mean", "regression_std", "regression_coeffs"):
+            out_specs[k] = P()
 
     mapped = jax.shard_map(
         shard_fn,
@@ -249,6 +254,7 @@ def lsmc_core_from_sims(
     return_sim_data: bool = False,
     use_pallas: tp.Optional[bool] = None,
     mesh: tp.Optional[Mesh] = None,
+    return_regression: bool = False,
 ):
     """LSMC over pre-simulated path panels ([N+1, S] / [N+1, F, S]), sharding
     the sim axis across all local devices when possible (the distributed analog
@@ -256,7 +262,8 @@ def lsmc_core_from_sims(
 
     Falls back to single-device execution when only one device is present or
     the sim count does not divide the mesh; results are invariant to that
-    choice up to f32 reduction-order noise.
+    choice up to f32 reduction-order noise.  ``return_regression`` adds the
+    per-step regression payload (replicated) to the result for checkpointing.
     """
     num_sims = spot_reg.shape[1]
     multiprocess = jax.process_count() > 1
@@ -288,6 +295,7 @@ def lsmc_core_from_sims(
             use_pallas=lsmc_engine.resolve_use_pallas(
                 use_pallas, num_sims, arrays["grids"].dtype
             ),
+            return_regression=return_regression,
         )
     s_local = num_sims // mesh.devices.size
     return _sharded_from_sims_jit(
@@ -299,4 +307,5 @@ def lsmc_core_from_sims(
         use_pallas=lsmc_engine.resolve_use_pallas(
             use_pallas, s_local, arrays["grids"].dtype
         ),
+        return_regression=return_regression,
     )

@@ -51,7 +51,9 @@ def case():
     grid_next = jnp.linspace(0.0, 1000.0, g)
     targets = jnp.asarray(rng.uniform(-50.0, 1050.0, (g, d)), jnp.float32)
     idx_lo, w_hi = interp_weights(grid_next.astype(jnp.float32), targets)
-    w_hi = _bf16_exact(w_hi)  # the weight-matrix builder snaps to bf16 anyway
+    # The production path snaps weights to the 1/256 grid (w and 1-w exactly
+    # bf16); use the same quadrature here so reference and kernel agree.
+    w_hi = decision_kernel.snap_weights(w_hi)
     coeffs = jnp.asarray(rng.normal(0.0, 5.0, (b_dim, g)), jnp.float32)
     ci = coeffs[:, idx_lo] * (1 - w_hi) + coeffs[:, idx_lo + 1] * w_hi  # [B, G, D]
     a = jnp.asarray(rng.normal(0.0, 2.0, (g, d)), jnp.float32)
@@ -101,6 +103,51 @@ def test_pick_sim_tile():
     assert decision_kernel.pick_sim_tile(512) == 512
     assert decision_kernel.pick_sim_tile(384) == 128
     assert decision_kernel.pick_sim_tile(100) == 0
+
+
+def test_standardise_moments_matches_two_pass():
+    """Moment-space standardisation (fused kernel path) must reproduce the
+    two-pass column_stats + fit_continuation solve: same mean/std, same
+    predictions — including the constant column's special handling (row 0 of
+    the standardised Gram matrix must vanish so the Cholesky stays sane)."""
+    from storage_tpu.ops import regression as regr
+
+    rng = np.random.default_rng(5)
+    s, b_dim, g = 4096, 5, 8
+    spot = 30.0 + 1.5 * rng.normal(size=s)
+    x0 = 0.3 * rng.normal(size=s)
+    x = np.stack([np.ones(s), spot, spot**2, x0, x0 * spot], axis=1)
+    y = rng.normal(100.0, 30.0, size=(s, g)) + 4.0 * spot[:, None]
+
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+    mean2, std2 = regr.column_stats(xj)
+    coeffs2 = regr.fit_continuation((xj - mean2) / std2, yj)
+
+    # The fused path centres/scales with APPROXIMATE stats before
+    # accumulating moments; perturb to emulate the adjacent-step centre.
+    c = np.asarray(mean2) * (1 + 0.05 * rng.normal(size=b_dim))
+    sc = np.asarray(std2) * (1 + 0.05 * rng.normal(size=b_dim))
+    c[0], sc[0] = 0.0, 1.0
+    u = (xj - c) / sc
+    hi = jax.lax.Precision.HIGHEST
+    xtx_u = jnp.dot(u.T, u, precision=hi)
+    xty_u = jnp.dot(u.T, yj, precision=hi)
+    m, xty_s, mu_u, sig_u = regr.standardise_moments(xtx_u, xty_u)
+    mean1 = c + sc * np.asarray(mu_u)
+    std1 = sc * np.asarray(sig_u)
+    coeffs1 = regr.fit_from_moments(m, xty_s)
+
+    np.testing.assert_allclose(mean1, np.asarray(mean2), rtol=1e-10)
+    np.testing.assert_allclose(std1, np.asarray(std2), rtol=1e-10)
+    # Row/col 0 of the Gram matrix: constant-vs-centred cross moments vanish.
+    np.testing.assert_allclose(np.asarray(m[0, 1:]), 0.0, atol=1e-6 * s)
+    assert float(m[0, 0]) == pytest.approx(s)
+    pred2 = (xj - mean2) / std2 @ coeffs2
+    pred1 = (xj - jnp.asarray(mean1)) / jnp.asarray(std1) @ coeffs1
+    np.testing.assert_allclose(
+        np.asarray(pred1), np.asarray(pred2), rtol=1e-8, atol=1e-6
+    )
 
 
 def test_fit_continuation_singular_fallback():

@@ -112,6 +112,35 @@ class TestParametersObject:
         assert res.sim_inventory.empty
         assert np.isfinite(res.npv)
 
+    def test_checkpoint_routing_via_builder(self, tmp_path):
+        """with_checkpoint_path persists the regression payload; forward-only
+        re-pricing from the checkpoint against the SAME valuation sims must
+        reproduce the NPV (the backward pass never re-runs)."""
+        from storage_tpu.checkpoint import RegressionCheckpoint, revalue_from_checkpoint
+
+        path = str(tmp_path / "reg.npz")
+        params = self._params_builder().with_checkpoint_path(path).build()
+        res = lsmc_value(params)
+
+        ckpt = RegressionCheckpoint.load(path)
+        spot_val = jnp.asarray(res.sim_spot_valuation.to_numpy(), F64)
+        fac_frames = res.sim_factors_valuation
+        fac_val = jnp.stack(
+            [jnp.asarray(f.to_numpy(), F64) for f in fac_frames], axis=1
+        )
+        fwd_res = revalue_from_checkpoint(ckpt, spot_val, fac_val)
+        assert float(fwd_res["npv"]) == pytest.approx(res.npv, rel=1e-12)
+
+    def test_checkpoint_requires_string_basis(self, tmp_path):
+        comb = ONE + X0 + X0**2 + X1 + X1 * X1
+        params = (
+            self._params_builder(basis=comb)
+            .with_checkpoint_path(str(tmp_path / "reg.npz"))
+            .build()
+        )
+        with pytest.raises(ValueError, match="basis_funcs as a string"):
+            lsmc_value(params)
+
     def test_spot_combinator_in_function_api(self):
         val_date, fwd, rates, settle = market()
         s_str = multi_factor_value(

@@ -21,7 +21,7 @@ from storage_tpu.valuation_inputs import prepare_valuation
 F64 = jnp.float64
 
 
-def build_case(num_steps=40, num_grid=30):
+def build_case(num_steps=40, num_grid=30, dtype=F64):
     storage = CmdtyStorage(
         "D", "2021-01-01", pd.Period("2021-01-01", freq="D") + num_steps, 0.9, 0.7,
         min_inventory=0.0, max_inventory=5_000.0,
@@ -39,9 +39,9 @@ def build_case(num_steps=40, num_grid=30):
     )
     arrays = lsmc_engine.build_engine_arrays(
         inputs.compiled, inputs.fwd, inputs.df_settle, inputs.df_flow,
-        inputs.inventory_lower, inputs.inventory_upper, num_grid, F64,
+        inputs.inventory_lower, inputs.inventory_upper, num_grid, dtype,
     )
-    sim_inputs = pmesh.sim_inputs_from_precompute(pre, inputs.fwd, F64)
+    sim_inputs = pmesh.sim_inputs_from_precompute(pre, inputs.fwd, dtype)
     monomials = tuple(parse_basis_functions("1 + x0 + x0**2 + x1 + s"))
     return inputs, arrays, sim_inputs, monomials
 
@@ -110,6 +110,38 @@ class TestShardCountInvariance:
         )
         sharded = run_on_mesh(8)
         assert float(sharded["npv"]) == pytest.approx(float(direct["npv"]), rel=1e-9)
+
+    def test_fused_pallas_path_shard_invariant(self):
+        """The fused-moments Pallas backward (interpret mode) under shard_map:
+        the per-step moments psum must make the regression — and therefore
+        every reduced output — invariant to the shard count."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        F32 = jnp.float32
+
+        def run(n_devices, num_sims=1024):
+            inputs, arrays, sim_inputs, monomials = build_case(dtype=F32)
+            mesh = pmesh.make_mesh(n_devices)
+            with pltpu.force_tpu_interpret_mode():
+                return pmesh.sharded_lsmc_core(
+                    mesh, arrays, sim_inputs,
+                    jax.random.key(7), jax.random.key(9), num_sims,
+                    inputs.starting_inventory, monomials,
+                    num_extra_decisions=0, discount_deltas=False,
+                    terminal_fn=None, ratchet_is_step=False,
+                    use_pallas=True,
+                )
+
+        r1, r8 = run(1), run(8)
+        # f32 reduction order differs across shard counts (different tile
+        # widths and psum vs in-kernel accumulation), which can also flip
+        # near-tie decisions; the psum'd moment path must still agree to f32
+        # accumulation noise.
+        assert float(r8["npv"]) == pytest.approx(float(r1["npv"]), rel=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(r8["deltas"]), np.asarray(r1["deltas"]), rtol=1e-3,
+            atol=2e-2 * float(np.max(np.abs(np.asarray(r1["deltas"])))),
+        )
 
     def test_num_sims_not_divisible_raises(self):
         inputs, arrays, sim_inputs, monomials = build_case()
