@@ -20,6 +20,14 @@ import numpy as np
 
 
 def main():
+    if "--scaling" in sys.argv:
+        # Mesh-size sweep (BASELINE.md >=80% path-scaling efficiency metric);
+        # see bench_scaling.py.
+        from bench_scaling import main as scaling_main
+
+        scaling_main()
+        return
+
     num_sims = int(os.environ.get("BENCH_NUM_SIMS", 262_144))
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", 365))
     num_grid = int(os.environ.get("BENCH_NUM_GRID", 100))

@@ -69,7 +69,7 @@ def intrinsic_value(
     ``interpolation``: 'linear' (default) or 'cubic' (natural cubic spline in
     inventory, the reference's alternative interpolator factory).
     """
-    del numerical_tolerance
+    del numerical_tolerance  # no-op; see tests/test_numerical_tolerance.py
     storage = cmdty_storage
     val_period = pu.to_period(val_date, storage.start.freqstr)
 
@@ -130,7 +130,7 @@ def trinomial_value(
 ) -> float:
     """One-factor trinomial-tree storage valuation (reference
     ``trinomial.py:36-85``).  Returns the NPV."""
-    del numerical_tolerance
+    del numerical_tolerance  # no-op; see tests/test_numerical_tolerance.py
     from .engines import tree as tree_engine
     from .models import trinomial_tree as tt
 

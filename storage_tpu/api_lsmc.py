@@ -68,11 +68,12 @@ def three_factor_seasonal_value(
     num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
     numerical_tolerance: float = 1e-12,
     on_progress_update: ProgressCallback = None,
-    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.NONE,
     dtype=jnp.float32,
     antithetic: bool = False,
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
+    pred_passes: int = 2,
 ) -> MultiFactorValuationResults:
     """3-factor seasonal LSMC valuation (reference ``multi_factor.py:99-135``).
 
@@ -97,6 +98,7 @@ def three_factor_seasonal_value(
         sim_data_returned=sim_data_returned, dtype=dtype, antithetic=antithetic,
         deltas_method=deltas_method,
         checkpoint_path=checkpoint_path,
+        pred_passes=pred_passes,
     )
 
 
@@ -118,12 +120,13 @@ def multi_factor_value(
     num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
     numerical_tolerance: float = 1e-12,
     on_progress_update: ProgressCallback = None,
-    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.NONE,
     dtype=jnp.float32,
     antithetic: bool = False,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
+    pred_passes: int = 2,
 ) -> MultiFactorValuationResults:
     """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``).
 
@@ -144,15 +147,17 @@ def multi_factor_value(
     """
     factor_corrs = mf.validate_multi_factor_params(factors, factor_corrs)
 
-    def sims_provider(inputs: ValuationInputs):
+    def _sim_setup(inputs: ValuationInputs):
         pre = mf.simulation_precompute(
             factors, factor_corrs, inputs.val_day, list(inputs.periods), cmdty_storage.freq
         )
-        decay = jnp.asarray(pre.decay, dtype)
-        chol = jnp.asarray(pre.chol, dtype)
-        vols = jnp.asarray(pre.vols, dtype)
-        half_var = jnp.asarray(pre.half_var, dtype)
-        fwd = jnp.asarray(inputs.fwd, dtype)
+        sim_inputs = {
+            "decay": jnp.asarray(pre.decay, dtype),
+            "chol": jnp.asarray(pre.chol, dtype),
+            "vols": jnp.asarray(pre.vols, dtype),
+            "half_var": jnp.asarray(pre.half_var, dtype),
+            "fwd": jnp.asarray(inputs.fwd, dtype),
+        }
         reg_key = jax.random.key(0 if seed is None else int(seed))
         if fwd_sim_seed is None:
             # Independent stream derived from the regression seed
@@ -160,17 +165,30 @@ def multi_factor_value(
             val_key = jax.random.fold_in(reg_key, 0x5EED)
         else:
             val_key = jax.random.key(int(fwd_sim_seed))
+        same_sims = fwd_sim_seed is not None and int(fwd_sim_seed) == int(
+            0 if seed is None else seed
+        )
+        return sim_inputs, reg_key, val_key, same_sims
+
+    def sims_provider(inputs: ValuationInputs):
+        si, reg_key, val_key, same_sims = _sim_setup(inputs)
         path_ids = jnp.arange(num_sims)
         reg = simulate_ou_paths(
-            reg_key, path_ids, decay, chol, vols, half_var, fwd, antithetic=antithetic
+            reg_key, path_ids, si["decay"], si["chol"], si["vols"],
+            si["half_var"], si["fwd"], antithetic=antithetic,
         )
-        if fwd_sim_seed is not None and int(fwd_sim_seed) == int(0 if seed is None else seed):
+        if same_sims:
             val = reg
         else:
             val = simulate_ou_paths(
-                val_key, path_ids, decay, chol, vols, half_var, fwd, antithetic=antithetic
+                val_key, path_ids, si["decay"], si["chol"], si["vols"],
+                si["half_var"], si["fwd"], antithetic=antithetic,
             )
         return (reg.spot, reg.factors), (val.spot, val.factors)
+
+    def stream_provider(inputs: ValuationInputs):
+        si, reg_key, val_key, same_sims = _sim_setup(inputs)
+        return si, reg_key, val_key, same_sims, num_sims
 
     return _lsmc_calc(
         cmdty_storage, val_date, inventory, fwd_curve, interest_rates,
@@ -178,7 +196,8 @@ def multi_factor_value(
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
-        checkpoint_path=checkpoint_path,
+        checkpoint_path=checkpoint_path, pred_passes=pred_passes,
+        stream_provider=stream_provider, antithetic=antithetic,
     )
 
 
@@ -199,11 +218,12 @@ def value_from_sims(
     num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
     numerical_tolerance: float = 1e-12,
     on_progress_update: ProgressCallback = None,
-    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL,
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.NONE,
     dtype=jnp.float32,
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
+    pred_passes: int = 2,
 ) -> MultiFactorValuationResults:
     """Valuation from user-supplied spot/factor simulations (reference
     ``multi_factor.py:171-208`` / ``SpotSimResultsFromPanels.cs:36-117``).
@@ -227,7 +247,7 @@ def value_from_sims(
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, sim_data_returned, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
-        checkpoint_path=checkpoint_path,
+        checkpoint_path=checkpoint_path, pred_passes=pred_passes,
     )
 
 
@@ -252,6 +272,7 @@ def value_from_sims_host_local(
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
+    pred_passes: int = 2,
 ) -> MultiFactorValuationResults:
     """Multi-host ``value_from_sims``: the sim DataFrames are THIS PROCESS's
     block of paths; blocks from all processes form the global panel (process
@@ -286,7 +307,7 @@ def value_from_sims_host_local(
         extra_decisions, num_inventory_grid_points, numerical_tolerance,
         on_progress_update, SimulationDataReturned.NONE, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
-        checkpoint_path=checkpoint_path,
+        checkpoint_path=checkpoint_path, pred_passes=pred_passes,
     )
 
 
@@ -335,8 +356,16 @@ def _lsmc_calc(
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
+    pred_passes: int = 2,
+    stream_provider=None,
+    antithetic: bool = False,
 ) -> MultiFactorValuationResults:
-    del numerical_tolerance  # API parity; device kernels are branchless
+    # Accepted for API parity; a documented no-op.  The reference uses it to
+    # tolerance-snap bang-bang decisions and grid bisection
+    # (StorageHelper.cs:122-165,280-314); the branchless kernels snap
+    # unconditionally and interpolate exactly — equivalence pinned by
+    # tests/test_numerical_tolerance.py.
+    del numerical_tolerance
     if checkpoint_path is not None and not isinstance(basis_funcs, str):
         raise ValueError(
             "checkpoint_path requires basis_funcs as a string (checkpoints "
@@ -394,14 +423,53 @@ def _lsmc_calc(
             storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule
         )
 
+    sim_data_flags = sim_data_returned
+    wants_sim_data = bool(
+        sim_data_flags
+        & (
+            SimulationDataReturned.INVENTORY
+            | SimulationDataReturned.INJECT_WITHDRAW_VOLUME
+            | SimulationDataReturned.CMDTY_CONSUMED
+            | SimulationDataReturned.INVENTORY_LOSS
+            | SimulationDataReturned.NET_VOLUME
+            | SimulationDataReturned.PV
+        )
+    )
+    wants_path_panels = bool(
+        sim_data_flags
+        & (
+            SimulationDataReturned.SPOT_REGRESS
+            | SimulationDataReturned.SPOT_VALUATION
+            | SimulationDataReturned.FACTORS_REGRESS
+            | SimulationDataReturned.FACTORS_VALUATION
+        )
+    )
+    # Streamed execution (in-scan path regeneration, no [N, S] panels in HBM)
+    # whenever nothing forces materialisation; identical results either way
+    # (same RNG stream, tests/test_streaming.py).
+    use_stream = (
+        stream_provider is not None
+        and not wants_sim_data
+        and not wants_path_panels
+        and jax.process_count() == 1
+    )
+
     logger.info("Simulating price paths.")
+    spot_reg = factors_reg = spot_val = factors_val = None
+    stream_cfg = None
     with stopwatches.time("path_simulation"):
-        (spot_reg, factors_reg), (spot_val, factors_val) = sims_provider(inputs)
+        if use_stream:
+            # Host-side OU precompute only; draws happen inside the scans.
+            stream_cfg = stream_provider(inputs)
+            num_factors = int(stream_cfg[0]["decay"].shape[1])
+        else:
+            (spot_reg, factors_reg), (spot_val, factors_val) = sims_provider(inputs)
+            num_factors = int(factors_reg.shape[1])
     num_factors_needed = basis_mod.num_factors_required(monomials)
-    if num_factors_needed > factors_reg.shape[1]:
+    if num_factors_needed > num_factors:
         raise ValueError(
             f"Basis functions reference factor x{num_factors_needed - 1} but only "
-            f"{factors_reg.shape[1]} factors are simulated."
+            f"{num_factors} factors are simulated."
         )
     progress(0.2)
 
@@ -425,32 +493,40 @@ def _lsmc_calc(
         inputs.inventory_lower, inputs.inventory_upper, num_grid_points, dtype,
     )
     terminal_fn = None if inputs.compiled.must_be_empty_at_end else inputs.compiled.terminal_value
-    wants_sim_data = bool(
-        sim_data_returned
-        & (
-            SimulationDataReturned.INVENTORY
-            | SimulationDataReturned.INJECT_WITHDRAW_VOLUME
-            | SimulationDataReturned.CMDTY_CONSUMED
-            | SimulationDataReturned.INVENTORY_LOSS
-            | SimulationDataReturned.NET_VOLUME
-            | SimulationDataReturned.PV
-        )
-    )
     with stopwatches.time("lsmc_backward_forward"):
-        result = lsmc_core_from_sims(
-            arrays, spot_reg, factors_reg, spot_val, factors_val,
-            inputs.starting_inventory,
-            monomials, int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
-            inputs.compiled.ratchet_is_step,
-            return_sim_data=wants_sim_data,
-            return_regression=checkpoint_path is not None,
-        )
+        if use_stream:
+            from .parallel import mesh as pmesh
+
+            sim_inputs, reg_key, val_key, same_sims, num_sims = stream_cfg
+            n_dev = len(jax.devices())
+            mesh = pmesh.make_mesh() if num_sims % n_dev == 0 else pmesh.make_mesh(1)
+            result = pmesh.sharded_lsmc_core(
+                mesh, arrays, sim_inputs, reg_key, val_key, num_sims,
+                inputs.starting_inventory, monomials,
+                int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
+                inputs.compiled.ratchet_is_step, antithetic=antithetic,
+                same_sims=same_sims, stream=None,  # footprint auto-select
+                return_regression=checkpoint_path is not None,
+                pred_passes=int(pred_passes),
+            )
+        else:
+            result = lsmc_core_from_sims(
+                arrays, spot_reg, factors_reg, spot_val, factors_val,
+                inputs.starting_inventory,
+                monomials, int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
+                inputs.compiled.ratchet_is_step,
+                return_sim_data=wants_sim_data,
+                return_regression=checkpoint_path is not None,
+                pred_passes=int(pred_passes),
+            )
         result = {k: np.asarray(v) for k, v in result.items() if v is not None}
     if checkpoint_path is not None:
         # Persist the backward->forward hand-off so later forward-only
         # re-pricings skip the backward induction (checkpoint.py; the
         # artifact the reference keeps in-memory in regressCoeffsBuilder,
-        # LsmcStorageValuation.cs:159,360).
+        # LsmcStorageValuation.cs:159,360).  The payload is replicated after
+        # the moments psum, so in multi-process runs only rank 0 writes —
+        # concurrent writes to a shared path would corrupt the npz.
         from .checkpoint import make_checkpoint
 
         regression = {
@@ -458,27 +534,48 @@ def _lsmc_calc(
             "std": result.pop("regression_std"),
             "coeffs": result.pop("regression_coeffs"),
         }
-        make_checkpoint(
-            {k: np.asarray(v) for k, v in arrays.items()}, regression,
-            basis_funcs, inputs.starting_inventory, int(extra_decisions or 0),
-            bool(discount_deltas), inputs.compiled.ratchet_is_step,
-            must_be_empty_at_end=terminal_fn is None,
-        ).save(checkpoint_path)
+        if jax.process_index() == 0:
+            make_checkpoint(
+                {k: np.asarray(v) for k, v in arrays.items()}, regression,
+                basis_funcs, inputs.starting_inventory, int(extra_decisions or 0),
+                bool(discount_deltas), inputs.compiled.ratchet_is_step,
+                must_be_empty_at_end=terminal_fn is None,
+            ).save(checkpoint_path)
     if deltas_method == "adjoint":
         # One reverse-mode sweep through the whole valuation; replaces the
         # pathwise delta series (NPV itself is unchanged: same sims, same
-        # policy).  Runs unsharded — the grad graph holds the full panels.
+        # policy).
         logger.info("Calculating adjoint (AD) deltas.")
         with stopwatches.time("adjoint_deltas"):
-            fwd_dev = arrays["fwd"]
-            _npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
-                arrays,
-                spot_reg / fwd_dev[:, None], factors_reg,
-                spot_val / fwd_dev[:, None], factors_val,
-                jnp.asarray(inputs.starting_inventory, arrays["grids"].dtype),
-                monomials, int(extra_decisions or 0), bool(discount_deltas),
-                terminal_fn, inputs.compiled.ratchet_is_step,
-            )
+            if use_stream:
+                # Sharded + segment-rematerialised sweep: streamed sims, AD
+                # tape bounded by segment-boundary carries, per-shard grads
+                # psum'd (parallel.mesh.sharded_ad_deltas).
+                from .parallel import mesh as pmesh
+
+                sim_inputs, reg_key, val_key, same_sims, num_sims = stream_cfg
+                n_dev = len(jax.devices())
+                ad_mesh = (
+                    pmesh.make_mesh() if num_sims % n_dev == 0
+                    else pmesh.make_mesh(1)
+                )
+                _npv_ad, deltas_ad = pmesh.sharded_ad_deltas(
+                    ad_mesh, arrays, sim_inputs, reg_key, val_key, num_sims,
+                    inputs.starting_inventory, monomials,
+                    int(extra_decisions or 0), bool(discount_deltas),
+                    terminal_fn, inputs.compiled.ratchet_is_step,
+                    antithetic=antithetic, same_sims=same_sims,
+                )
+            else:
+                fwd_dev = arrays["fwd"]
+                _npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
+                    arrays,
+                    spot_reg / fwd_dev[:, None], factors_reg,
+                    spot_val / fwd_dev[:, None], factors_val,
+                    jnp.asarray(inputs.starting_inventory, arrays["grids"].dtype),
+                    monomials, int(extra_decisions or 0), bool(discount_deltas),
+                    terminal_fn, inputs.compiled.ratchet_is_step,
+                )
             result["deltas"] = np.asarray(deltas_ad)
     logger.info(
         "LSMC complete. Forward NPV %.2f (backward %.2f).",
@@ -531,7 +628,8 @@ def _lsmc_calc(
         return pd.DataFrame(data=np.asarray(data, dtype=np.float64), index=index)
 
     # Factor panels are converted lazily: np.asarray on a multi-process
-    # path-sharded array would touch non-addressable shards.
+    # path-sharded array would touch non-addressable shards.  (Streamed runs
+    # never materialise them; the flags gating their return are off there.)
     if sim_data_returned & SimulationDataReturned.FACTORS_REGRESS:
         fac_reg_np = np.asarray(factors_reg)
         factor_frames_reg = tuple(
@@ -539,7 +637,7 @@ def _lsmc_calc(
             for i in range(factors_reg.shape[1])
         )
     else:
-        factor_frames_reg = tuple(pd.DataFrame() for _ in range(factors_reg.shape[1]))
+        factor_frames_reg = tuple(pd.DataFrame() for _ in range(num_factors))
     if sim_data_returned & SimulationDataReturned.FACTORS_VALUATION:
         fac_val_np = np.asarray(factors_val)
         factor_frames_val = tuple(
@@ -547,7 +645,7 @@ def _lsmc_calc(
             for i in range(factors_val.shape[1])
         )
     else:
-        factor_frames_val = tuple(pd.DataFrame() for _ in range(factors_val.shape[1]))
+        factor_frames_val = tuple(pd.DataFrame() for _ in range(num_factors))
 
     out = MultiFactorValuationResults(
         npv=float(result["npv"]),

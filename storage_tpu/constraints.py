@@ -20,6 +20,15 @@ import typing as tp
 import numpy as np
 
 
+class InventoryConstraintsCannotBeFulfilledException(ValueError):
+    """Feasible inventory band is empty, or an inventory-space inverse problem
+    has no solution (reference
+    ``InventoryConstraintsCannotBeFulfilledException.cs:31``; thrown from both
+    the band reduction and the constraint-level solvers,
+    ``StorageHelper.cs:101-102``).  Subclasses ``ValueError`` so callers
+    catching the generic type keep working."""
+
+
 class InjectWithdrawRange(tp.NamedTuple):
     min_inject_withdraw_rate: float
     max_inject_withdraw_rate: float
@@ -151,7 +160,9 @@ class PiecewiseLinearInjectWithdrawConstraint(BaseConstraint):
                 )
             bracket_upper_after = lower_after
             bracket_upper_inv = lower.inventory
-        raise ValueError("Storage inventory constraints cannot be satisfied.")
+        raise InventoryConstraintsCannotBeFulfilledException(
+            "Storage inventory constraints cannot be satisfied."
+        )
 
     def inventory_space_lower_bound(
         self, next_lower, next_upper, min_inventory, max_inventory, inventory_pcnt_loss
@@ -174,7 +185,9 @@ class PiecewiseLinearInjectWithdrawConstraint(BaseConstraint):
                 )
             bracket_lower_after = upper_after
             bracket_lower_inv = upper.inventory
-        raise ValueError("Storage inventory constraints cannot be satisfied.")
+        raise InventoryConstraintsCannotBeFulfilledException(
+            "Storage inventory constraints cannot be satisfied."
+        )
 
     def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
         return self.inventories, self.min_rates, self.max_rates, False
@@ -241,7 +254,9 @@ class StepInjectWithdrawConstraint(BaseConstraint):
             if lo_after <= next_upper <= hi_after:
                 solution = _interp_linear_and_solve(lo_inv, lo_after, hi_inv, hi_after, next_upper)
         if solution is None:
-            raise ValueError("Storage inventory constraints cannot be satisfied.")
+            raise InventoryConstraintsCannotBeFulfilledException(
+                "Storage inventory constraints cannot be satisfied."
+            )
         return solution
 
     def inventory_space_lower_bound(
@@ -262,7 +277,9 @@ class StepInjectWithdrawConstraint(BaseConstraint):
             if lo_after <= next_lower <= hi_after:
                 solution = _interp_linear_and_solve(lo_inv, lo_after, hi_inv, hi_after, next_lower)
         if solution is None:
-            raise ValueError("Storage inventory constraints cannot be satisfied.")
+            raise InventoryConstraintsCannotBeFulfilledException(
+                "Storage inventory constraints cannot be satisfied."
+            )
         return solution
 
     def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
@@ -304,7 +321,9 @@ class PolynomialInjectWithdrawConstraint(BaseConstraint):
         eps = 1e-9 * max(1.0, abs(hi - lo))
         candidates = real[(real >= lo - eps) & (real <= hi + eps)]
         if len(candidates) == 0:
-            raise ValueError("Storage inventory constraints cannot be satisfied.")
+            raise InventoryConstraintsCannotBeFulfilledException(
+                "Storage inventory constraints cannot be satisfied."
+            )
         return float(np.max(candidates) if pick_max else np.min(candidates))
 
     def inventory_space_upper_bound(

@@ -56,6 +56,7 @@ from ..facility import CompiledStorage
 from ..ops import interp
 from ..ops import decision_kernel
 from ..ops import forward_kernel
+from ..models import spot_sim as spot_sim_mod
 from ..ops.regression import (
     column_stats,
     fit_continuation,
@@ -146,41 +147,11 @@ def _decision_cashflow_coeffs(decisions, x):
     return a, -cost_npv, consumed
 
 
-def lsmc_backward(
-    arrays: tp.Dict[str, jnp.ndarray],
-    spot_reg: jnp.ndarray,  # [N+1, S]
-    factors_reg: jnp.ndarray,  # [N+1, F, S]
-    monomials: tp.Tuple[Monomial, ...],
-    num_extra_decisions: int,
-    terminal_fn,
-    ratchet_is_step: bool,
-    axis_name: tp.Optional[str],
-    use_pallas: bool = False,
-    snap_interp: tp.Optional[bool] = None,
-):
-    """Backward induction.  Returns (v0 [G, S] values at the first period,
-    regression payload dict of stacked per-step arrays [N, ...]).
-
-    ``snap_interp`` rounds interpolation weights to the 1/256 grid (the
-    quadrature the Pallas kernel requires for exact 2-pass bf16 interpolation);
-    defaults to ``use_pallas`` so the XLA path can be run on the identical
-    quadrature for equivalence testing."""
-    if snap_interp is None:
-        snap_interp = use_pallas
+def _backward_per_step(arrays: tp.Dict[str, jnp.ndarray]) -> tp.Dict[str, jnp.ndarray]:
+    """Per-step facility/discount arrays feeding the backward scan ([N, ...])."""
     grids = arrays["grids"]
     n = grids.shape[0] - 1
-
-    # Terminal storage values per (grid point, sim) — LsmcStorageValuation.cs:110-131.
-    if terminal_fn is None:
-        v_end = jnp.zeros((grids.shape[1], spot_reg.shape[1]), grids.dtype)
-    else:
-        # Broadcast: user terminal functions may return scalars or ignore args.
-        v_end = jnp.broadcast_to(
-            jnp.asarray(terminal_fn(spot_reg[n][None, :], grids[n][:, None]), grids.dtype),
-            (grids.shape[1], spot_reg.shape[1]),
-        )
-
-    per_step = {
+    return {
         "grid": grids[:n],
         "grid_next": grids[1:],
         "next_min": arrays["lower"][1:],
@@ -196,16 +167,37 @@ def lsmc_backward(
         "ratchet_inv": arrays["ratchet_inv"],
         "ratchet_min": arrays["ratchet_min"],
         "ratchet_max": arrays["ratchet_max"],
-        "spot": spot_reg[:n],
-        "factors": factors_reg[:n],
     }
 
+
+def _terminal_values(terminal_fn, spot_end, grid_end, num_grid, num_sims, dtype):
+    """Terminal storage values per (grid point, sim) — LsmcStorageValuation.cs:110-131."""
+    if terminal_fn is None:
+        return jnp.zeros((num_grid, num_sims), dtype)
+    # Broadcast: user terminal functions may return scalars or ignore args.
+    return jnp.broadcast_to(
+        jnp.asarray(terminal_fn(spot_end[None, :], grid_end[:, None]), dtype),
+        (num_grid, num_sims),
+    )
+
+
+def _backward_bodies(
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str],
+    use_pallas: bool,
+    snap_interp: bool,
+    pred_passes: int,
+):
+    """Shared backward-step closures for the materialised and streamed scans.
+
+    Returns (fused_body, plain_body).  Both take ``(carry, x)`` where ``x``
+    holds the per-step facility scalars plus the simulated ``spot`` [S] and
+    ``factors`` [F, S] for the step (the fused body additionally reads
+    ``spot_prev``/``factors_prev`` — previous step's slices, clamped to the
+    step itself at t=0)."""
     num_decisions = 2 * num_extra_decisions + 3
-    # The fully fused path additionally accumulates the next step's raw
-    # regression moments inside the decision kernel (one pass over the value
-    # panel instead of two); it needs at least one simulated factor panel to
-    # build the design matrix on-tile.
-    use_fused_moments = use_pallas and factors_reg.shape[1] > 0
 
     def step_prep(x, coeffs):
         """Decision set, snapped interpolation, coefficient interpolation and
@@ -241,7 +233,7 @@ def lsmc_backward(
         b = b - inv_cost_npv[:, None]
         return idx_lo, w_hi, ci, a, b
 
-    def backward_step_fused(carry, x):
+    def fused_body(carry, x):
         # Moments of this step's design matrix (centred/scaled by the NEXT
         # step's stats, u-coordinates) against the next period's values arrive
         # in the carry, accumulated inside the previous kernel call; recover
@@ -260,39 +252,17 @@ def lsmc_backward(
             idx_lo, w_hi, g_next, coeffs.dtype
         )
         spot = x["spot"]
-        prev = jnp.maximum(x["idx"] - 1, 0)
-        spot_prev = jax.lax.dynamic_index_in_dim(spot_reg, prev, keepdims=False)
-        fac_prev = jax.lax.dynamic_index_in_dim(factors_reg, prev, keepdims=False)
         best_act, xtx_next, xty_next = decision_kernel.decision_update_moments_pallas(
-            v_act_next, spot, x["factors"], spot_prev, fac_prev, mean, std,
-            w_mat, jnp.transpose(ci, (2, 1, 0)), a.T, b.T,
+            v_act_next, spot, x["factors"], x["spot_prev"], x["factors_prev"],
+            mean, std, w_mat, jnp.transpose(ci, (2, 1, 0)), a.T, b.T,
             monomials, sim_tile=decision_kernel.pick_sim_tile(spot.shape[0]),
+            pred_passes=pred_passes,
         )
         return (best_act, xtx_next, xty_next, mean, std), {
             "mean": mean, "std": std, "coeffs": coeffs,
         }
 
-    if use_fused_moments:
-        # Bootstrap: moments of the LAST step's design matrix against the
-        # terminal values, standardised with exact two-pass stats (every
-        # later step's moments come out of the kernel in u-coordinates).
-        dm_last = design_matrix(monomials, spot_reg[n - 1], factors_reg[n - 1])
-        mean0, std0 = column_stats(dm_last, axis_name)
-        u0 = (dm_last - mean0) / std0
-        hi = jax.lax.Precision.HIGHEST
-        xtx0 = jnp.dot(u0.T, u0, preferred_element_type=grids.dtype,
-                       precision=hi)
-        xty0 = jnp.dot(u0.T, v_end.T, preferred_element_type=grids.dtype,
-                       precision=hi)
-        per_step_fm = dict(per_step)
-        per_step_fm["idx"] = jnp.arange(n)
-        (v0, _, _, _, _), regression = jax.lax.scan(
-            backward_step_fused, (v_end, xtx0, xty0, mean0, std0), per_step_fm,
-            reverse=True,
-        )
-        return v0, regression
-
-    def backward_step(v_act_next, x):
+    def plain_body(v_act_next, x):
         # Regression of next-period value on this period's state
         # (LsmcStorageValuation.cs:191-212, via normal equations).
         dm = design_matrix(monomials, x["spot"], x["factors"])  # [S, B]
@@ -313,6 +283,7 @@ def lsmc_backward(
                 v_act_next, dm_std.T, spot,
                 w_mat, jnp.transpose(ci, (2, 1, 0)), a.T, b.T,
                 sim_tile=decision_kernel.pick_sim_tile(spot.shape[0]),
+                pred_passes=pred_passes,
             )
             return best_act, {"mean": mean, "std": std, "coeffs": coeffs}
 
@@ -341,7 +312,345 @@ def lsmc_backward(
                 best_act = jnp.where(better, val_act, best_act)
         return best_act, {"mean": mean, "std": std, "coeffs": coeffs}
 
-    v0, regression = jax.lax.scan(backward_step, v_end, per_step, reverse=True)
+    return fused_body, plain_body
+
+
+def _fused_bootstrap(monomials, spot_last, factors_last, v_end, axis_name, dtype):
+    """Moments of the LAST step's design matrix against the terminal values,
+    standardised with exact two-pass stats (every later step's moments come
+    out of the kernel in u-coordinates)."""
+    dm_last = design_matrix(monomials, spot_last, factors_last)
+    mean0, std0 = column_stats(dm_last, axis_name)
+    u0 = (dm_last - mean0) / std0
+    hi = jax.lax.Precision.HIGHEST
+    xtx0 = jnp.dot(u0.T, u0, preferred_element_type=dtype, precision=hi)
+    xty0 = jnp.dot(u0.T, v_end.T, preferred_element_type=dtype, precision=hi)
+    return xtx0, xty0, mean0, std0
+
+
+def lsmc_backward(
+    arrays: tp.Dict[str, jnp.ndarray],
+    spot_reg: jnp.ndarray,  # [N+1, S]
+    factors_reg: jnp.ndarray,  # [N+1, F, S]
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str],
+    use_pallas: bool = False,
+    snap_interp: tp.Optional[bool] = None,
+    pred_passes: int = 2,
+):
+    """Backward induction over materialised path panels.  Returns (v0 [G, S]
+    values at the first period, regression payload dict of stacked per-step
+    arrays [N, ...]).
+
+    ``snap_interp`` rounds interpolation weights to the 1/256 grid (the
+    quadrature the Pallas kernel requires for exact 2-pass bf16 interpolation);
+    defaults to ``use_pallas`` so the XLA path can be run on the identical
+    quadrature for equivalence testing.  ``pred_passes`` selects the number of
+    split-precision MXU passes for the regressed-gap matmul in the Pallas
+    kernels (2 = default, 3 = validated fallback; see
+    ops/decision_kernel._kernel)."""
+    if snap_interp is None:
+        snap_interp = use_pallas
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+
+    v_end = _terminal_values(
+        terminal_fn, spot_reg[n], grids[n], grids.shape[1], spot_reg.shape[1],
+        grids.dtype,
+    )
+    per_step = _backward_per_step(arrays)
+    per_step["spot"] = spot_reg[:n]
+    per_step["factors"] = factors_reg[:n]
+
+    # The fully fused path additionally accumulates the next step's raw
+    # regression moments inside the decision kernel (one pass over the value
+    # panel instead of two); it needs at least one simulated factor panel to
+    # build the design matrix on-tile.
+    use_fused_moments = use_pallas and factors_reg.shape[1] > 0
+
+    fused_body, plain_body = _backward_bodies(
+        monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
+        snap_interp, pred_passes,
+    )
+
+    if use_fused_moments:
+        xtx0, xty0, mean0, std0 = _fused_bootstrap(
+            monomials, spot_reg[n - 1], factors_reg[n - 1], v_end, axis_name,
+            grids.dtype,
+        )
+        # Previous-step slices (clamped at t=0), consumed by the in-kernel
+        # moment accumulation of the NEXT iteration's design matrix.
+        per_step["spot_prev"] = jnp.concatenate(
+            [spot_reg[0:1], spot_reg[: n - 1]], axis=0
+        )
+        per_step["factors_prev"] = jnp.concatenate(
+            [factors_reg[0:1], factors_reg[: n - 1]], axis=0
+        )
+        (v0, _, _, _, _), regression = jax.lax.scan(
+            fused_body, (v_end, xtx0, xty0, mean0, std0), per_step,
+            reverse=True,
+        )
+        return v0, regression
+
+    v0, regression = jax.lax.scan(plain_body, v_end, per_step, reverse=True)
+    return v0, regression
+
+
+# ------------------------------------------------------------- streamed sims
+#
+# The 1M-path headline config cannot materialise [N+1, S] spot plus
+# [N+1, F, S] factor panels for two sim sets (~11.7 GB f32 at 1M x 366 — over
+# a 16 GB chip; VERDICT r02 item 1).  The per-(step, path) counter RNG
+# (models/spot_sim.step_normals) lets the scans regenerate any step's draws in
+# place, so the streamed engine holds no path panels at all:
+#
+# * the FORWARD pass carries the OU factor state [S, F] and regenerates each
+#   step's spot on the fly — a trivial carry extension;
+# * the BACKWARD pass runs in reverse time, and the OU recursion cannot be
+#   reversed stably (the inverse map amplifies f32 rounding by e^{alpha*T} —
+#   ~1e7 for the daily gas config), so it uses SEGMENTED CHECKPOINTING: a
+#   warmup sweep stores the factor state entering every K-step segment
+#   ([ceil(N/K), S, F], ~140 MB at 1M paths, K=32), and the backward scan
+#   regenerates each segment forward from its checkpoint with EXACTLY the
+#   simulator's own recursion — so streamed and materialised valuations agree
+#   bit-for-bit (pinned by tests/test_streaming.py).
+#
+# HBM high-water at 1M paths: the [G, S] value panel (~400 MB) plus one
+# [K, S, F+1] segment panel (~130 MB) — capacity is set by the value panel,
+# not the paths.
+
+
+class StreamedSims(tp.NamedTuple):
+    """Inputs for in-scan path regeneration: the OU precompute arrays
+    (per simulated period), the RNG base key and this shard's global path ids."""
+
+    decay: jnp.ndarray  # [N+1, F]
+    chol: jnp.ndarray  # [N+1, F, F]
+    vols: jnp.ndarray  # [N+1, F]
+    half_var: jnp.ndarray  # [N+1]
+    fwd: jnp.ndarray  # [N+1] simulation forward curve
+    key: jax.Array
+    path_ids: jnp.ndarray  # [S_local]
+
+
+def _stream_step_arrays(stream: StreamedSims, n: int) -> tp.Dict[str, jnp.ndarray]:
+    """Per-step simulation parameters for steps 0..n-1 plus the previous
+    step's spot parameters (row 0 duplicated: the t=0 'previous' step clamps
+    to t=0 itself, matching the materialised scan)."""
+
+    def prev(a):
+        return jnp.concatenate([a[0:1], a[:-1]], axis=0)
+
+    return {
+        "t_idx": jnp.arange(n),
+        "sim_decay": stream.decay[:n],
+        "sim_chol": stream.chol[:n],
+        "sim_fwd": stream.fwd[:n],
+        "sim_hv": stream.half_var[:n],
+        "sim_vols": stream.vols[:n],
+        "sim_fwd_prev": prev(stream.fwd[:n]),
+        "sim_hv_prev": prev(stream.half_var[:n]),
+        "sim_vols_prev": prev(stream.vols[:n]),
+    }
+
+
+def _stream_draw(stream: StreamedSims, t, antithetic: bool):
+    f = stream.decay.shape[1]
+    return spot_sim_mod.step_normals(
+        stream.key, t, stream.path_ids, f, antithetic, stream.decay.dtype
+    )
+
+
+def _stream_terminal_state(stream: StreamedSims, x_nm1, n: int, antithetic: bool):
+    """Advance the factor state one final step to the end period and price it."""
+    z_n = _stream_draw(stream, jnp.asarray(n), antithetic)
+    x_n = spot_sim_mod.ou_step(x_nm1, z_n, stream.decay[n], stream.chol[n])
+    spot_n = spot_sim_mod.spot_from_state(
+        x_n, stream.fwd[n], stream.half_var[n], stream.vols[n]
+    )
+    return x_n, spot_n
+
+
+def _stream_warmup(stream: StreamedSims, n: int, seg_len: int, antithetic: bool):
+    """One forward sweep of the OU recursion, emitting the state ENTERING each
+    full K-step segment (checkpoints [m, S, F]) plus the state entering the
+    ragged tail and the final state x_{n-1}."""
+    m, r = n // seg_len, n % seg_len
+    s = stream.path_ids.shape[0]
+    f = stream.decay.shape[1]
+    dtype = stream.decay.dtype
+    x0 = jnp.zeros((s, f), dtype)
+
+    def chain(x, xs):
+        def body(xc, one):
+            t, d_k, c_k = one
+            z = _stream_draw(stream, t, antithetic)
+            return spot_sim_mod.ou_step(xc, z, d_k, c_k), None
+
+        x_out, _ = jax.lax.scan(body, x, xs)
+        return x_out
+
+    steps = (jnp.arange(n), stream.decay[:n], stream.chol[:n])
+    full = jax.tree.map(lambda a: a[: m * seg_len].reshape((m, seg_len) + a.shape[1:]), steps)
+    ragged = jax.tree.map(lambda a: a[m * seg_len :], steps)
+
+    def warm_seg(x, seg_xs):
+        return chain(x, seg_xs), x  # emit the segment ENTRY state
+
+    if m > 0:
+        x_tail, checkpoints = jax.lax.scan(warm_seg, x0, full)
+    else:
+        x_tail, checkpoints = x0, jnp.zeros((0, s, f), dtype)
+    ragged_entry = x_tail
+    x_last = chain(x_tail, ragged) if r > 0 else x_tail  # x_{n-1}
+    return checkpoints, ragged_entry, x_last
+
+
+def _regen_segment(stream: StreamedSims, entry_state, seg, antithetic: bool,
+                   is_first_segment, with_prev: bool):
+    """Regenerate one segment's spot [L, S] and factors [L, F, S] forward from
+    its checkpoint (bit-identical to the simulator's own recursion), plus the
+    previous-step slices the fused kernel consumes.  ``is_first_segment`` is a
+    traced bool selecting the t=0 clamp (prev = the step itself)."""
+
+    def body(x, one):
+        z = _stream_draw(stream, one["t_idx"], antithetic)
+        x_new = spot_sim_mod.ou_step(x, z, one["sim_decay"], one["sim_chol"])
+        spot = spot_sim_mod.spot_from_state(
+            x_new, one["sim_fwd"], one["sim_hv"], one["sim_vols"]
+        )
+        return x_new, (spot, x_new.T)
+
+    _, (spot_seg, fac_seg) = jax.lax.scan(body, entry_state, seg)
+    if not with_prev:
+        return spot_seg, fac_seg, None, None
+    entry_fac = jnp.transpose(entry_state)  # [F, S]
+    entry_spot = spot_sim_mod.spot_from_state(
+        entry_state, seg["sim_fwd_prev"][0], seg["sim_hv_prev"][0],
+        seg["sim_vols_prev"][0],
+    )
+    first_prev_fac = jnp.where(is_first_segment, fac_seg[0], entry_fac)
+    first_prev_spot = jnp.where(is_first_segment, spot_seg[0], entry_spot)
+    spot_prev = jnp.concatenate([first_prev_spot[None], spot_seg[:-1]], axis=0)
+    fac_prev = jnp.concatenate([first_prev_fac[None], fac_seg[:-1]], axis=0)
+    return spot_seg, fac_seg, spot_prev, fac_prev
+
+
+def lsmc_backward_streamed(
+    arrays: tp.Dict[str, jnp.ndarray],
+    stream: StreamedSims,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str],
+    use_pallas: bool = False,
+    snap_interp: tp.Optional[bool] = None,
+    pred_passes: int = 2,
+    seg_len: int = 32,
+    antithetic: bool = False,
+    remat: bool = False,
+):
+    """Backward induction with in-scan path regeneration (no [N, S] panels).
+    Bit-identical to ``lsmc_backward`` fed ``simulate_ou_paths`` output.
+
+    ``remat`` wraps each segment in ``jax.checkpoint`` so reverse-mode AD
+    through the scan stores only segment-boundary carries ([N/K, G, S])
+    instead of every step's residuals — the memory bound that makes the
+    adjoint-delta sweep feasible at bench scale."""
+    if snap_interp is None:
+        snap_interp = use_pallas
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    seg_len = max(1, min(seg_len, n))
+    m, r = n // seg_len, n % seg_len
+    num_grid = grids.shape[1]
+    s = stream.path_ids.shape[0]
+    dtype = grids.dtype
+
+    use_fused_moments = use_pallas and stream.decay.shape[1] > 0
+    fused_body, plain_body = _backward_bodies(
+        monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
+        snap_interp, pred_passes,
+    )
+
+    checkpoints, ragged_entry, x_last = _stream_warmup(
+        stream, n, seg_len, antithetic
+    )
+    spot_last = spot_sim_mod.spot_from_state(
+        x_last, stream.fwd[n - 1], stream.half_var[n - 1], stream.vols[n - 1]
+    )
+    _, spot_end = _stream_terminal_state(stream, x_last, n, antithetic)
+    v_end = _terminal_values(terminal_fn, spot_end, grids[n], num_grid, s, dtype)
+
+    per_step = _backward_per_step(arrays)
+    per_step.update(_stream_step_arrays(stream, n))
+    full_steps = jax.tree.map(
+        lambda a: a[: m * seg_len].reshape((m, seg_len) + a.shape[1:]), per_step
+    )
+    ragged_steps = jax.tree.map(lambda a: a[m * seg_len :], per_step)
+
+    if use_fused_moments:
+        xtx0, xty0, mean0, std0 = _fused_bootstrap(
+            monomials, spot_last, jnp.transpose(x_last), v_end, axis_name, dtype
+        )
+        carry = (v_end, xtx0, xty0, mean0, std0)
+        body = fused_body
+    else:
+        carry = v_end
+        body = plain_body
+
+    def process_segment(carry, entry_state, seg, is_first_segment):
+        spot_seg, fac_seg, spot_prev, fac_prev = _regen_segment(
+            stream, entry_state, seg, antithetic, is_first_segment,
+            with_prev=use_fused_moments,
+        )
+        seg = dict(seg)
+        seg["spot"] = spot_seg
+        seg["factors"] = fac_seg
+        if use_fused_moments:
+            seg["spot_prev"] = spot_prev
+            seg["factors_prev"] = fac_prev
+        return jax.lax.scan(body, carry, seg, reverse=True)
+
+    if remat:
+        process_segment = jax.checkpoint(process_segment, prevent_cse=False)
+
+    reg_ragged = None
+    if r > 0:
+        carry, reg_ragged = process_segment(
+            carry, ragged_entry, ragged_steps, jnp.asarray(m == 0)
+        )
+
+    if m > 0:
+        def outer_body(carry, seg_xs):
+            seg_idx, entry_state, seg = seg_xs
+            return process_segment(carry, entry_state, seg, seg_idx == 0)
+
+        carry, reg_full = jax.lax.scan(
+            outer_body, carry, (jnp.arange(m), checkpoints, full_steps),
+            reverse=True,
+        )
+        # [m, K, ...] -> [m*K, ...]
+        reg_full = jax.tree.map(
+            lambda a: a.reshape((m * seg_len,) + a.shape[2:]), reg_full
+        )
+    else:
+        reg_full = None
+
+    if reg_full is None:
+        regression = reg_ragged
+    elif reg_ragged is None:
+        regression = reg_full
+    else:
+        regression = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), reg_full, reg_ragged
+        )
+
+    v0 = carry[0] if use_fused_moments else carry
     return v0, regression
 
 
@@ -415,31 +724,14 @@ def _trigger_outputs(x, xbar, expected_inventory, ratchet_is_step: bool,
     }
 
 
-def lsmc_forward(
+def _forward_per_step(
     arrays: tp.Dict[str, jnp.ndarray],
-    spot_val: jnp.ndarray,  # [N+1, S]
-    factors_val: jnp.ndarray,  # [N+1, F, S]
-    regression: tp.Dict[str, jnp.ndarray],  # stacked [N, ...] from the backward pass
-    starting_inventory,
-    monomials: tp.Tuple[Monomial, ...],
-    num_extra_decisions: int,
-    discount_deltas: bool,
-    terminal_fn,
-    ratchet_is_step: bool,
-    axis_name: tp.Optional[str],
-    return_sim_data: bool,
-    use_pallas: bool = False,
-):
+    regression: tp.Dict[str, jnp.ndarray],
+    fused: bool,
+) -> tp.Dict[str, jnp.ndarray]:
+    """Per-step facility/regression arrays feeding the forward scan."""
     grids = arrays["grids"]
     n = grids.shape[0] - 1
-    dtype = grids.dtype
-    s_local = spot_val.shape[1]
-    sim_tile = decision_kernel.pick_sim_tile(s_local)
-    fused = (
-        use_pallas and not return_sim_data and dtype == jnp.float32
-        and sim_tile > 0
-    )
-
     per_step = {
         "grid_next": grids[1:],
         "next_min": arrays["lower"][1:],
@@ -456,16 +748,10 @@ def lsmc_forward(
         "ratchet_inv": arrays["ratchet_inv"],
         "ratchet_min": arrays["ratchet_min"],
         "ratchet_max": arrays["ratchet_max"],
-        "spot": spot_val[:n],
-        "factors": factors_val[:n],
         "mean": regression["mean"],
         "std": regression["std"],
         "coeffs": regression["coeffs"],
     }
-
-    num_decisions = 2 * num_extra_decisions + 3
-    num_tv = NUM_TRIGGER_PRICE_VOLUMES
-
     if fused:
         # Pack per-step scalars for the fused kernel's SMEM parameter vector.
         g_next = grids.shape[1]
@@ -487,6 +773,25 @@ def lsmc_forward(
             ],
             axis=1,
         ).astype(jnp.float32)
+    return per_step
+
+
+def _forward_bodies(
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str],
+    return_sim_data: bool,
+    s_local: int,
+    sim_tile: int,
+    dtype,
+):
+    """Shared forward-step closures (fused Pallas / plain XLA) for the
+    materialised and streamed scans.  Bodies take ``(carry, x)`` with carry
+    (inventory [S], pv [S]) and ``x`` holding per-step arrays plus ``spot``
+    [S] and ``factors`` [F, S]."""
+    num_decisions = 2 * num_extra_decisions + 3
 
     def forward_step_fused(carry, x):
         inventory, pv = carry  # [S], [S]
@@ -595,17 +900,27 @@ def lsmc_forward(
             }
         return (new_inventory, new_pv), outputs
 
-    inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
-    pv0 = jnp.zeros((s_local,), dtype)
-    (final_inventory, pv_by_sim), outputs = jax.lax.scan(
-        forward_step_fused if fused else forward_step, (inv0, pv0), per_step
-    )
+    return forward_step_fused, forward_step
 
+
+def _forward_finalise(
+    outputs,
+    final_inventory,
+    pv_by_sim,
+    spot_end,  # [S] end-period spot (for the terminal value)
+    terminal_fn,
+    axis_name,
+    return_sim_data: bool,
+    s_local: int,
+    dtype,
+):
+    """Terminal value, NPV/SE reductions and result assembly shared by the
+    materialised and streamed forward passes."""
     # Terminal period PV for non-empty storage (corrected semantics; see module
     # docstring re LsmcStorageValuation.cs:594-612).
     if terminal_fn is not None:
         terminal_pv = jnp.broadcast_to(
-            jnp.asarray(terminal_fn(spot_val[n], final_inventory), dtype),
+            jnp.asarray(terminal_fn(spot_end, final_inventory), dtype),
             final_inventory.shape,
         )
         pv_by_sim = pv_by_sim + terminal_pv
@@ -664,6 +979,153 @@ def lsmc_forward(
     }
 
 
+def _resolve_forward_fused(use_pallas, return_sim_data, dtype, sim_tile):
+    return bool(
+        use_pallas and not return_sim_data and dtype == jnp.float32
+        and sim_tile > 0
+    )
+
+
+def lsmc_forward(
+    arrays: tp.Dict[str, jnp.ndarray],
+    spot_val: jnp.ndarray,  # [N+1, S]
+    factors_val: jnp.ndarray,  # [N+1, F, S]
+    regression: tp.Dict[str, jnp.ndarray],  # stacked [N, ...] from the backward pass
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str],
+    return_sim_data: bool,
+    use_pallas: bool = False,
+):
+    """Forward simulation over materialised path panels."""
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    dtype = grids.dtype
+    s_local = spot_val.shape[1]
+    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    fused = _resolve_forward_fused(use_pallas, return_sim_data, dtype, sim_tile)
+
+    per_step = _forward_per_step(arrays, regression, fused)
+    per_step["spot"] = spot_val[:n]
+    per_step["factors"] = factors_val[:n]
+
+    fused_body, plain_body = _forward_bodies(
+        monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
+        axis_name, return_sim_data, s_local, sim_tile, dtype,
+    )
+
+    inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
+    pv0 = jnp.zeros((s_local,), dtype)
+    (final_inventory, pv_by_sim), outputs = jax.lax.scan(
+        fused_body if fused else plain_body, (inv0, pv0), per_step
+    )
+    return _forward_finalise(
+        outputs, final_inventory, pv_by_sim, spot_val[n], terminal_fn,
+        axis_name, return_sim_data, s_local, dtype,
+    )
+
+
+def lsmc_forward_streamed(
+    arrays: tp.Dict[str, jnp.ndarray],
+    stream: StreamedSims,
+    regression: tp.Dict[str, jnp.ndarray],
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str],
+    use_pallas: bool = False,
+    antithetic: bool = False,
+    remat: bool = False,
+    seg_len: int = 32,
+):
+    """Forward simulation with in-scan path regeneration: the scan carries the
+    OU factor state and prices each step on the fly, so no [N, S] valuation
+    panels exist.  Bit-identical to ``lsmc_forward`` fed ``simulate_ou_paths``
+    output.  Per-sim panels are unavailable by construction
+    (``return_sim_data`` is materialised-only).  ``remat`` chunks the scan
+    into ``seg_len``-step segments wrapped in ``jax.checkpoint`` (AD tape
+    bounded by segment-boundary carries)."""
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    dtype = grids.dtype
+    s_local = stream.path_ids.shape[0]
+    f = stream.decay.shape[1]
+    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    fused = _resolve_forward_fused(use_pallas, False, dtype, sim_tile)
+
+    per_step = _forward_per_step(arrays, regression, fused)
+    per_step.update(_stream_step_arrays(stream, n))
+
+    fused_body, plain_body = _forward_bodies(
+        monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
+        axis_name, False, s_local, sim_tile, dtype,
+    )
+    body = fused_body if fused else plain_body
+
+    def streamed_body(carry, x):
+        inventory, pv, x_state = carry
+        z = _stream_draw(stream, x["t_idx"], antithetic)
+        x_new = spot_sim_mod.ou_step(x_state, z, x["sim_decay"], x["sim_chol"])
+        x = dict(x)
+        x["spot"] = spot_sim_mod.spot_from_state(
+            x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
+        )
+        x["factors"] = jnp.transpose(x_new)
+        (new_inventory, new_pv), outputs = body((inventory, pv), x)
+        return (new_inventory, new_pv, x_new), outputs
+
+    inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
+    pv0 = jnp.zeros((s_local,), dtype)
+    x0 = jnp.zeros((s_local, f), dtype)
+    if not remat:
+        (final_inventory, pv_by_sim, x_last), outputs = jax.lax.scan(
+            streamed_body, (inv0, pv0, x0), per_step
+        )
+    else:
+        seg = max(1, min(seg_len, n))
+        m, r = n // seg, n % seg
+
+        def seg_scan(carry, seg_xs):
+            return jax.lax.scan(streamed_body, carry, seg_xs)
+
+        seg_scan = jax.checkpoint(seg_scan, prevent_cse=False)
+        full = jax.tree.map(
+            lambda a: a[: m * seg].reshape((m, seg) + a.shape[1:]), per_step
+        )
+        ragged = jax.tree.map(lambda a: a[m * seg :], per_step)
+        carry = (inv0, pv0, x0)
+        ys_full = None
+        if m > 0:
+            carry, ys_full = jax.lax.scan(seg_scan, carry, full)
+            ys_full = jax.tree.map(
+                lambda a: a.reshape((m * seg,) + a.shape[2:]), ys_full
+            )
+        ys_ragged = None
+        if r > 0:
+            carry, ys_ragged = seg_scan(carry, ragged)
+        if ys_full is None:
+            outputs = ys_ragged
+        elif ys_ragged is None:
+            outputs = ys_full
+        else:
+            outputs = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), ys_full, ys_ragged
+            )
+        final_inventory, pv_by_sim, x_last = carry
+    _, spot_end = _stream_terminal_state(stream, x_last, n, antithetic)
+    return _forward_finalise(
+        outputs, final_inventory, pv_by_sim, spot_end, terminal_fn,
+        axis_name, False, s_local, dtype,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -677,6 +1139,7 @@ def lsmc_forward(
         "use_pallas",
         "return_regression",
         "snap_interp",
+        "pred_passes",
     ),
 )
 def lsmc_core(
@@ -696,10 +1159,12 @@ def lsmc_core(
     use_pallas: bool = False,
     return_regression: bool = False,
     snap_interp: tp.Optional[bool] = None,
+    pred_passes: int = 2,
 ) -> tp.Dict[str, jnp.ndarray]:
     v0, regression = lsmc_backward(
         arrays, spot_reg, factors_reg, monomials, num_extra_decisions, terminal_fn,
         ratchet_is_step, axis_name, use_pallas=use_pallas, snap_interp=snap_interp,
+        pred_passes=pred_passes,
     )
     result = lsmc_forward(
         arrays, spot_val, factors_val, regression, starting_inventory, monomials,
@@ -714,6 +1179,76 @@ def lsmc_core(
         # reference keeps in regressCoeffsBuilder, LsmcStorageValuation.cs:159)
         # — identical on every path shard after the moments psum, so it is a
         # replicated output; used to persist RegressionCheckpoints.
+        result["regression_mean"] = regression["mean"]
+        result["regression_std"] = regression["std"]
+        result["regression_coeffs"] = regression["coeffs"]
+    return result
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "monomials",
+        "num_extra_decisions",
+        "discount_deltas",
+        "terminal_fn",
+        "ratchet_is_step",
+        "axis_name",
+        "use_pallas",
+        "return_regression",
+        "snap_interp",
+        "pred_passes",
+        "seg_len",
+        "antithetic",
+        "same_sims",
+    ),
+)
+def lsmc_core_streamed(
+    arrays: tp.Dict[str, jnp.ndarray],
+    sim_inputs: tp.Dict[str, jnp.ndarray],  # decay/chol/vols/half_var/fwd [N+1,...]
+    reg_key: jax.Array,
+    val_key: jax.Array,
+    path_ids: jnp.ndarray,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str] = None,
+    use_pallas: bool = False,
+    return_regression: bool = False,
+    snap_interp: tp.Optional[bool] = None,
+    pred_passes: int = 2,
+    seg_len: int = 32,
+    antithetic: bool = False,
+    same_sims: bool = False,
+) -> tp.Dict[str, jnp.ndarray]:
+    """Full LSMC valuation with in-scan path regeneration: the only [·, S]
+    array alive across steps is the value panel [G, S] — no spot/factor panels
+    — so the 1M-path headline config fits a single chip (VERDICT r02 item 1).
+    Dual-sim estimator as in ``lsmc_core``: ``reg_key`` drives the backward
+    regression sims, ``val_key`` the independent forward valuation sims
+    (``same_sims`` reuses the regression stream)."""
+    reg_stream = StreamedSims(
+        decay=sim_inputs["decay"], chol=sim_inputs["chol"],
+        vols=sim_inputs["vols"], half_var=sim_inputs["half_var"],
+        fwd=sim_inputs["fwd"], key=reg_key, path_ids=path_ids,
+    )
+    val_stream = reg_stream._replace(key=reg_key if same_sims else val_key)
+    v0, regression = lsmc_backward_streamed(
+        arrays, reg_stream, monomials, num_extra_decisions, terminal_fn,
+        ratchet_is_step, axis_name, use_pallas=use_pallas,
+        snap_interp=snap_interp, pred_passes=pred_passes, seg_len=seg_len,
+        antithetic=antithetic,
+    )
+    result = lsmc_forward_streamed(
+        arrays, val_stream, regression, starting_inventory, monomials,
+        num_extra_decisions, discount_deltas, terminal_fn, ratchet_is_step,
+        axis_name, use_pallas=use_pallas, antithetic=antithetic,
+    )
+    result["backward_npv"] = _global_mean_over_sims(v0[0], axis_name)
+    if return_regression:
         result["regression_mean"] = regression["mean"]
         result["regression_std"] = regression["std"]
         result["regression_coeffs"] = regression["coeffs"]
@@ -776,6 +1311,89 @@ def lsmc_npv_and_ad_deltas(
         # value_and_grad discounts to the valuation date already.
         return npv, grad_fwd
     # The reference's DiscountDeltas=False divides the discount back out.
+    df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
+    return npv, grad_fwd / df
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
+        "ratchet_is_step", "axis_name", "seg_len", "antithetic", "same_sims",
+    ),
+)
+def lsmc_npv_and_ad_deltas_streamed(
+    arrays: tp.Dict[str, jnp.ndarray],
+    sim_inputs: tp.Dict[str, jnp.ndarray],
+    reg_key: jax.Array,
+    val_key: jax.Array,
+    path_ids: jnp.ndarray,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    axis_name: tp.Optional[str] = None,
+    seg_len: int = 32,
+    antithetic: bool = False,
+    same_sims: bool = False,
+):
+    """Adjoint deltas with streamed sims and segment rematerialisation
+    (VERDICT r02 item 3: the sharded, memory-bounded adjoint sweep).
+
+    Structure: the BACKWARD pass runs un-differentiated with globally psum'd
+    moments (the policy is exactly gradient-dead: the forward NPV depends on
+    the regression payload only through the discrete argmax, so AD through it
+    contributes zero a.e. — the envelope argument the materialised
+    ``lsmc_npv_and_ad_deltas`` relies on implicitly).  ``value_and_grad``
+    then runs over the FORWARD pass only, per shard with no collectives in
+    the differentiated graph (``axis_name=None``, regression payload
+    ``stop_gradient``-ed), and value/gradient are pmean'd explicitly — this
+    sidesteps the ill-defined transpose of collectives under ``shard_map``
+    (an earlier version differentiated through psums and produced
+    shard-count-dependent gradients).  The forward curve enters the graph as
+    the simulation curve (spot_t = fwd_t·exp(x·σ − ½V), so d spot/d fwd =
+    spot/fwd exactly — the reference's pathwise assumption,
+    LsmcStorageValuation.cs:514-517, holds by construction).  Segment
+    ``jax.checkpoint`` bounds the AD tape to segment-boundary carries.  The
+    backward pass may use the Pallas kernels (no gradient flows through it);
+    the differentiated forward sweep always runs the XLA body (Pallas
+    defines no VJP)."""
+    inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
+    fwd = sim_inputs["fwd"]
+
+    reg_stream = StreamedSims(
+        decay=sim_inputs["decay"], chol=sim_inputs["chol"],
+        vols=sim_inputs["vols"], half_var=sim_inputs["half_var"],
+        fwd=fwd, key=reg_key, path_ids=path_ids,
+    )
+    val_stream = reg_stream._replace(key=reg_key if same_sims else val_key)
+    _v0, regression = lsmc_backward_streamed(
+        arrays, reg_stream, monomials, num_extra_decisions, terminal_fn,
+        ratchet_is_step, axis_name, use_pallas=False, seg_len=seg_len,
+        antithetic=antithetic,
+    )
+    regression = jax.tree.map(jax.lax.stop_gradient, regression)
+
+    def local_npv(fwd_v):
+        arr = dict(arrays)
+        arr["fwd"] = fwd_v
+        result = lsmc_forward_streamed(
+            arr, val_stream._replace(fwd=fwd_v), regression, inv0, monomials,
+            num_extra_decisions, False, terminal_fn, ratchet_is_step,
+            axis_name=None, use_pallas=False, antithetic=antithetic,
+            remat=True, seg_len=seg_len,
+        )
+        return result["npv"]  # this shard's local mean PV
+
+    npv_local, grad_local = jax.value_and_grad(local_npv)(fwd)
+    # Equal shard sizes (enforced by the mesh wrapper): global mean PV and
+    # its gradient are the plain across-shard means.
+    npv = _pmean(npv_local, axis_name)
+    grad_fwd = _pmean(grad_local, axis_name)
+    if discount_deltas:
+        return npv, grad_fwd
     df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
     return npv, grad_fwd / df
 

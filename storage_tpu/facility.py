@@ -38,9 +38,12 @@ RatchetsType = tp.Optional[
 ]
 
 
-class InventoryConstraintsCannotBeFulfilledException(ValueError):
-    """Feasible inventory band is empty
-    (reference ``InventoryConstraintsCannotBeFulfilledException.cs:31``)."""
+# Re-exported from constraints so the constraint inverse solvers can raise the
+# same typed exception the band reduction does (StorageHelper.cs:101-102 throws
+# it from both levels) without a circular import.
+InventoryConstraintsCannotBeFulfilledException = (
+    con.InventoryConstraintsCannotBeFulfilledException
+)
 
 
 def _raise_if_not_none(arg, message):

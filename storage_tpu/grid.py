@@ -142,7 +142,10 @@ def _native_inventory_space(
     is_step_flags = set()
     # Constraint objects are typically shared across long stretches of periods
     # (one ratchet profile covering many steps) — memoise table construction.
+    # Keyed on id(); the keepalive list pins every cached constraint so a
+    # recycled id can never alias a different (garbage-collected) object.
     table_cache: tp.Dict[tp.Tuple[int, float, float], tp.Any] = {}
+    cache_keepalive: tp.List[tp.Any] = []
     for t in range(num_steps):
         constraint = storage.constraint_at(first_step + t)
         if isinstance(constraint, con.PolynomialInjectWithdrawConstraint):
@@ -152,6 +155,7 @@ def _native_inventory_space(
         if entry is None:
             entry = constraint.table(min_inv[t], max_inv[t])
             table_cache[key] = entry
+            cache_keepalive.append(constraint)
         inv, mn, mx, is_step = entry
         tables.append((inv, mn, mx))
         is_step_flags.add(is_step)
@@ -191,7 +195,9 @@ def _native_inventory_space(
             "Inventory constraints cannot be fulfilled."
         )
     if rc == 2:
-        raise ValueError("Storage inventory constraints cannot be satisfied.")
+        raise InventoryConstraintsCannotBeFulfilledException(
+            "Storage inventory constraints cannot be satisfied."
+        )
     return lower, upper
 
 

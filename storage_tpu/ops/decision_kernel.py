@@ -274,9 +274,11 @@ def decision_update_pallas(
     d = w.shape[0]
     grid = (s // sim_tile,)
     flops_per_tile = 2 * g * sim_tile * (g * d + b_dim * (d - 1))
-    # Hat weights built from snap_weights values are exactly representable in
-    # bf16; the cast costs nothing numerically and halves their VMEM footprint.
-    w_bf = w.astype(jnp.bfloat16)
+    # The 2-pass exact interpolation REQUIRES weights on the 1/256 grid
+    # (exactly bf16-representable).  Snapping here enforces the contract for
+    # callers that skipped it (idempotent when already snapped), so the bf16
+    # cast below is always lossless.
+    w_bf = snap_weights(w).astype(jnp.bfloat16)
     # Centred coefficient gaps: decision 0's fitted continuation is the argmax
     # baseline, so only the D-1 gap matmuls remain.
     dci = ci - ci[0:1]
@@ -345,7 +347,8 @@ def decision_update_moments_pallas(
     f_dim = factors.shape[0]
     d = w.shape[0]
     grid = (s // sim_tile,)
-    w_bf = w.astype(jnp.bfloat16)
+    # Enforce the snapped-weight contract (see decision_update_pallas).
+    w_bf = snap_weights(w).astype(jnp.bfloat16)
     dci = ci - ci[0:1]
     best_act, xtx, xty_t = pl.pallas_call(
         functools.partial(

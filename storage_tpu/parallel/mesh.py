@@ -18,6 +18,7 @@ block, so the full path panel never exists unsharded.
 """
 from __future__ import annotations
 
+import logging
 import typing as tp
 from functools import partial
 
@@ -32,6 +33,35 @@ from ..models.multi_factor import SimulationPrecompute
 from ..models.spot_sim import simulate_ou_paths
 
 AXIS = "paths"
+
+logger = logging.getLogger("storage_tpu.parallel")
+
+# Streaming auto-select threshold: materialised dual-sim path panels larger
+# than this stream instead (in-scan regeneration).  Materialised is mildly
+# faster when the panels fit (no warmup RNG sweep); streaming is the only way
+# the 1M-path headline config fits one chip.  Override via env var.
+STREAM_THRESHOLD_BYTES = int(
+    __import__("os").environ.get("STORAGE_TPU_STREAM_THRESHOLD_BYTES", 4 << 30)
+)
+
+
+def _panel_bytes(num_steps: int, s_local: int, num_factors: int, itemsize: int) -> int:
+    """HBM footprint of the two materialised sim-panel sets ([N+1, S] spot +
+    [N+1, F, S] factors, regression + valuation)."""
+    return 2 * (num_steps + 1) * s_local * (num_factors + 1) * itemsize
+
+
+def _log_execution(mesh: tp.Optional[Mesh], use_pallas: bool, num_sims: int,
+                   stream: bool = False):
+    """Record which execution path a valuation takes (device count + kernel),
+    so a user can tell why a run is slower than the benchmark (the fused
+    Pallas path engages only for f32 on TPU with tile-aligned local sims)."""
+    n_dev = 1 if mesh is None else mesh.devices.size
+    logger.info(
+        "LSMC execution: %d device(s), %d sims, kernel=%s, paths=%s",
+        n_dev, num_sims, "pallas-fused" if use_pallas else "xla",
+        "streamed" if stream else "materialised",
+    )
 
 
 def make_mesh(num_devices: tp.Optional[int] = None, devices=None) -> Mesh:
@@ -53,7 +83,8 @@ def pad_num_sims(num_sims: int, num_devices: int) -> int:
     static_argnames=(
         "mesh", "s_local", "monomials", "num_extra_decisions", "discount_deltas",
         "terminal_fn", "ratchet_is_step", "antithetic", "same_sims",
-        "return_sim_data", "use_pallas",
+        "return_sim_data", "use_pallas", "pred_passes", "stream", "seg_len",
+        "return_regression",
     ),
 )
 def _sharded_lsmc_jit(
@@ -74,10 +105,25 @@ def _sharded_lsmc_jit(
     same_sims: bool,
     return_sim_data: bool,
     use_pallas: bool,
+    pred_passes: int = 2,
+    stream: bool = False,
+    seg_len: int = 32,
+    return_regression: bool = False,
 ):
     def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
         shard = jax.lax.axis_index(AXIS)
         path_ids = shard * s_local + jnp.arange(s_local)
+        if stream:
+            # In-scan regeneration: no [N, S] path panels exist on any shard
+            # (lsmc_core_streamed); identical draws to the materialised path.
+            return lsmc_engine.lsmc_core_streamed(
+                arrays, sim_inputs, reg_key, val_key, path_ids, inv0,
+                monomials, num_extra_decisions, discount_deltas, terminal_fn,
+                ratchet_is_step, axis_name=AXIS, use_pallas=use_pallas,
+                pred_passes=pred_passes, seg_len=seg_len,
+                antithetic=antithetic, same_sims=same_sims,
+                return_regression=return_regression,
+            )
         reg = simulate_ou_paths(
             reg_key, path_ids, sim_inputs["decay"], sim_inputs["chol"],
             sim_inputs["vols"], sim_inputs["half_var"], sim_inputs["fwd"],
@@ -95,7 +141,8 @@ def _sharded_lsmc_jit(
             arrays, reg.spot, reg.factors, val.spot, val.factors, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, pred_passes=pred_passes,
+            return_regression=return_regression,
         )
 
     # Reduced outputs are identical on every shard; per-sim panels keep their
@@ -117,6 +164,10 @@ def _sharded_lsmc_jit(
     if return_sim_data:
         for k in sharded_keys:
             out_specs[k] = P(None, AXIS)
+    if return_regression:
+        # Identical on every shard after the moments psum.
+        for k in ("regression_mean", "regression_std", "regression_coeffs"):
+            out_specs[k] = P()
 
     mapped = jax.shard_map(
         shard_fn,
@@ -145,6 +196,10 @@ def sharded_lsmc_core(
     same_sims: bool = False,
     return_sim_data: bool = False,
     use_pallas: tp.Optional[bool] = None,
+    pred_passes: int = 2,
+    stream: tp.Optional[bool] = None,
+    seg_len: int = 32,
+    return_regression: bool = False,
 ):
     """LSMC with paths sharded over ``mesh``; returns the engine result dict
     with reduced outputs replicated and per-sim panels path-sharded.
@@ -154,6 +209,12 @@ def sharded_lsmc_core(
     regression paths for valuation (the pinned-seed regression-test setup).
     The underlying jit caches on (mesh, shapes, static config), so repeated
     valuations with fresh keys or curves do not recompile.
+
+    ``stream`` selects in-scan path regeneration (no [N, S] panels in HBM —
+    the 1M-paths/chip mode); default on whenever per-sim panels are not
+    requested.  Results are identical to the materialised path (same RNG
+    stream; pinned by tests/test_streaming.py).  ``seg_len`` is the backward
+    checkpoint segment length.
     """
     n_dev = mesh.devices.size
     if num_sims % n_dev != 0:
@@ -162,6 +223,22 @@ def sharded_lsmc_core(
             f"use pad_num_sims."
         )
     s_local = num_sims // n_dev
+    resolved_pallas = lsmc_engine.resolve_use_pallas(
+        use_pallas, s_local, arrays["grids"].dtype
+    )
+    if stream is None:
+        n_steps = arrays["grids"].shape[0] - 1
+        footprint = _panel_bytes(
+            n_steps, s_local, sim_inputs["decay"].shape[1],
+            jnp.dtype(arrays["grids"].dtype).itemsize,
+        )
+        stream = not return_sim_data and footprint > STREAM_THRESHOLD_BYTES
+    if stream and return_sim_data:
+        raise ValueError(
+            "Per-sim panels require materialised paths; pass stream=False "
+            "or return_sim_data=False."
+        )
+    _log_execution(mesh, resolved_pallas, num_sims, stream=bool(stream))
     return _sharded_lsmc_jit(
         arrays, sim_inputs, reg_key, val_key,
         jnp.asarray(starting_inventory, arrays["grids"].dtype),
@@ -170,9 +247,10 @@ def sharded_lsmc_core(
         terminal_fn=terminal_fn, ratchet_is_step=ratchet_is_step,
         antithetic=antithetic, same_sims=same_sims,
         return_sim_data=return_sim_data,
-        use_pallas=lsmc_engine.resolve_use_pallas(
-            use_pallas, s_local, arrays["grids"].dtype
-        ),
+        use_pallas=resolved_pallas,
+        pred_passes=pred_passes,
+        stream=bool(stream), seg_len=seg_len,
+        return_regression=return_regression,
     )
 
 
@@ -191,13 +269,14 @@ def sim_inputs_from_precompute(pre: SimulationPrecompute, fwd: np.ndarray, dtype
     static_argnames=(
         "mesh", "monomials", "num_extra_decisions", "discount_deltas",
         "terminal_fn", "ratchet_is_step", "return_sim_data", "use_pallas",
-        "return_regression",
+        "return_regression", "pred_passes",
     ),
 )
 def _sharded_from_sims_jit(
     arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
     *, mesh, monomials, num_extra_decisions, discount_deltas, terminal_fn,
     ratchet_is_step, return_sim_data, use_pallas, return_regression=False,
+    pred_passes=2,
 ):
     def shard_fn(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0):
         return lsmc_engine.lsmc_core(
@@ -205,6 +284,7 @@ def _sharded_from_sims_jit(
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
             use_pallas=use_pallas, return_regression=return_regression,
+            pred_passes=pred_passes,
         )
 
     sharded_keys = {
@@ -255,6 +335,7 @@ def lsmc_core_from_sims(
     use_pallas: tp.Optional[bool] = None,
     mesh: tp.Optional[Mesh] = None,
     return_regression: bool = False,
+    pred_passes: int = 2,
 ):
     """LSMC over pre-simulated path panels ([N+1, S] / [N+1, F, S]), sharding
     the sim axis across all local devices when possible (the distributed analog
@@ -288,24 +369,107 @@ def lsmc_core_from_sims(
             )
         arrays, inv0 = dist.replicate_to_global((arrays, inv0), mesh)
     if mesh is None or mesh.devices.size == 1 or num_sims % mesh.devices.size != 0:
+        resolved_pallas = lsmc_engine.resolve_use_pallas(
+            use_pallas, num_sims, arrays["grids"].dtype
+        )
+        _log_execution(None, resolved_pallas, num_sims)
         return lsmc_engine.lsmc_core(
             arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=None, return_sim_data=return_sim_data,
-            use_pallas=lsmc_engine.resolve_use_pallas(
-                use_pallas, num_sims, arrays["grids"].dtype
-            ),
+            use_pallas=resolved_pallas,
             return_regression=return_regression,
+            pred_passes=pred_passes,
         )
     s_local = num_sims // mesh.devices.size
+    resolved_pallas = lsmc_engine.resolve_use_pallas(
+        use_pallas, s_local, arrays["grids"].dtype
+    )
+    _log_execution(mesh, resolved_pallas, num_sims)
     return _sharded_from_sims_jit(
         arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
         mesh=mesh, monomials=monomials,
         num_extra_decisions=num_extra_decisions, discount_deltas=discount_deltas,
         terminal_fn=terminal_fn, ratchet_is_step=ratchet_is_step,
         return_sim_data=return_sim_data,
-        use_pallas=lsmc_engine.resolve_use_pallas(
-            use_pallas, s_local, arrays["grids"].dtype
-        ),
+        use_pallas=resolved_pallas,
         return_regression=return_regression,
+        pred_passes=pred_passes,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "s_local", "monomials", "num_extra_decisions",
+        "discount_deltas", "terminal_fn", "ratchet_is_step", "seg_len",
+        "antithetic", "same_sims",
+    ),
+)
+def _sharded_ad_deltas_jit(
+    arrays, sim_inputs, reg_key, val_key, inv0,
+    *, mesh, s_local, monomials, num_extra_decisions, discount_deltas,
+    terminal_fn, ratchet_is_step, seg_len=32, antithetic=False,
+    same_sims=False,
+):
+    def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
+        shard = jax.lax.axis_index(AXIS)
+        path_ids = shard * s_local + jnp.arange(s_local)
+        npv, grad_local = lsmc_engine.lsmc_npv_and_ad_deltas_streamed(
+            arrays, sim_inputs, reg_key, val_key, path_ids, inv0,
+            monomials, num_extra_decisions, discount_deltas, terminal_fn,
+            ratchet_is_step, axis_name=AXIS, seg_len=seg_len,
+            antithetic=antithetic, same_sims=same_sims,
+        )
+        # Both are pmean-reduced across shards inside the engine function
+        # (the gradient is computed collective-free per shard and averaged
+        # explicitly — see lsmc_npv_and_ad_deltas_streamed), so they arrive
+        # replicated.
+        return npv, grad_local
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return mapped(arrays, sim_inputs, reg_key, val_key, inv0)
+
+
+def sharded_ad_deltas(
+    mesh: Mesh,
+    arrays: tp.Dict[str, jnp.ndarray],
+    sim_inputs: tp.Dict[str, jnp.ndarray],
+    reg_key,
+    val_key,
+    num_sims: int,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    seg_len: int = 32,
+    antithetic: bool = False,
+    same_sims: bool = False,
+):
+    """Path-sharded adjoint-delta sweep: streamed sims + segment remat per
+    shard (lsmc_npv_and_ad_deltas_streamed), gradients psum'd across the
+    mesh.  Memory per shard is bounded by segment-boundary carries
+    ([N/seg_len, G, S_local]) — usable at bench scale (VERDICT r02 item 3).
+    Returns (npv, deltas [N+1]) replicated."""
+    n_dev = mesh.devices.size
+    if num_sims % n_dev != 0:
+        raise ValueError(
+            f"num_sims ({num_sims}) must be a multiple of the mesh size ({n_dev})."
+        )
+    return _sharded_ad_deltas_jit(
+        arrays, sim_inputs, reg_key, val_key,
+        jnp.asarray(starting_inventory, arrays["grids"].dtype),
+        mesh=mesh, s_local=num_sims // n_dev, monomials=monomials,
+        num_extra_decisions=num_extra_decisions,
+        discount_deltas=discount_deltas, terminal_fn=terminal_fn,
+        ratchet_is_step=ratchet_is_step, seg_len=seg_len,
+        antithetic=antithetic, same_sims=same_sims,
     )

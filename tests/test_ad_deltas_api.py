@@ -127,3 +127,39 @@ def test_builder_routes_deltas_method():
 
     with pytest.raises(ValueError, match="deltas_method"):
         LsmcValuationParameters.builder().with_deltas_method("bogus")
+
+
+def test_adjoint_sharded_remat_at_bench_scale_sims():
+    """262,144 sims on the 8-device CPU mesh (VERDICT r02 item 3 done
+    criterion): the sharded, segment-rematerialised adjoint sweep must agree
+    with the pathwise estimator at bench-scale path counts with bounded
+    memory.  Short horizon/small grid keep CPU wall time reasonable — the
+    scale axis under test is the path count the AD tape must survive."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax
+    from test_sharding import build_case
+
+    from storage_tpu.parallel import mesh as pmesh
+
+    inputs, arrays, sim_inputs, monomials = build_case(num_steps=12, num_grid=10)
+    num_sims = 262_144
+    mesh = pmesh.make_mesh(8)
+    pathwise = pmesh.sharded_lsmc_core(
+        mesh, arrays, sim_inputs, jax.random.key(3), jax.random.key(5),
+        num_sims, inputs.starting_inventory, monomials,
+        num_extra_decisions=0, discount_deltas=True, terminal_fn=None,
+        ratchet_is_step=False, stream=True, seg_len=5,
+    )
+    npv_ad, deltas_ad = pmesh.sharded_ad_deltas(
+        mesh, arrays, sim_inputs, jax.random.key(3), jax.random.key(5),
+        num_sims, inputs.starting_inventory, monomials,
+        num_extra_decisions=0, discount_deltas=True, terminal_fn=None,
+        ratchet_is_step=False, seg_len=5,
+    )
+    assert float(npv_ad) == pytest.approx(float(pathwise["npv"]), rel=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(deltas_ad), np.asarray(pathwise["deltas"]), rtol=1e-6,
+        atol=1e-8 * float(np.abs(np.asarray(pathwise["deltas"])).max()),
+    )

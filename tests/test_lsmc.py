@@ -202,6 +202,7 @@ class TestRegressionBaselines:
             simple_reg_storage(), val_date, 0.0, fwd, rates, settle, factors, 0.64,
             500, "1 + x0 + x0**2 + x1 + x1*x1", False, seed=11, fwd_sim_seed=11,
             dtype=F64, on_progress_update=progresses.append,
+            sim_data_returned=SimulationDataReturned.ALL,
         )
         # Reference pinned-seed outputs (test_multi_factor.py:99-103); with an
         # independent RNG the acceptance is within 2 MC standard errors.
@@ -243,7 +244,7 @@ class TestValueFromSims:
         res = multi_factor_value(
             simple_reg_storage(), val_date, 0.0, fwd, rates, settle, factors, 0.64,
             300, "1 + x0 + x0**2 + x1 + x1*x1", False, seed=11, fwd_sim_seed=11,
-            dtype=F64,
+            dtype=F64, sim_data_returned=SimulationDataReturned.ALL,
         )
         res_from_sims = value_from_sims(
             simple_reg_storage(), val_date, 0.0, fwd, rates, settle,

@@ -5,16 +5,24 @@ run float64.  This pins the f32-vs-f64 divergence of the full valuation at a
 mid-size configuration so a precision regression (e.g. a kernel change that
 quietly drops accumulation precision) fails in CI rather than in a future
 benchmark (VERDICT r1, Weak #2).
+
+Both runs consume the SAME float64-simulated path panels through
+``value_from_sims`` (the f32 run casts them once on ingestion), so the
+difference isolates engine arithmetic: regression conditioning, interpolation,
+decision near-ties.  (Before round 3 this test simulated separately per dtype;
+normal draws are not dtype-aligned in JAX, so it was comparing two independent
+Monte Carlo runs and its tight gates were luck of the seed pair.)
 """
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
 
-from storage_tpu import CmdtyStorage, SimulationDataReturned, multi_factor_value
+from storage_tpu import CmdtyStorage, SimulationDataReturned, value_from_sims
+from storage_tpu.models.spot_sim import MultiFactorSpotSim
 
 
-def _run(dtype):
+def _build_market():
     storage = CmdtyStorage(
         "D", "2019-12-01", "2020-04-01", 1.23, 0.98,
         min_inventory=0.0, max_inventory=100_000.0,
@@ -36,26 +44,44 @@ def _run(dtype):
         (0.0, pd.Series(index=vol_idx, data=0.14)),
         (16.2, pd.Series(index=vol_idx.copy(), data=1.15)),
     ]
-    return multi_factor_value(
-        storage, val_date, 0.0, fwd, rates, settle, factors, 0.64,
-        2048, "1 + x0 + x0**2 + x1 + x1*x1", False, seed=11, fwd_sim_seed=13,
+    return storage, val_date, fwd, rates, settle, factors
+
+
+def _run(dtype, sims):
+    storage, val_date, fwd, rates, settle, _ = _build_market()
+    (spot_reg, fac_reg), (spot_val, fac_val) = sims
+    return value_from_sims(
+        storage, val_date, 0.0, fwd, rates, settle,
+        spot_reg, spot_val, "1 + x0 + x0**2 + x1 + x1*x1", False,
+        sim_factors_regress=fac_reg, sim_factors_valuation=fac_val,
         dtype=dtype, sim_data_returned=SimulationDataReturned.NONE,
     )
 
 
 @pytest.fixture(scope="module")
 def both():
-    return _run(jnp.float32), _run(jnp.float64)
+    storage, val_date, fwd, rates, settle, factors = _build_market()
+    periods = pd.period_range("2019-12-01", "2020-04-01", freq="D")
+    curve = fwd.reindex(periods)
+
+    def simulate(seed):
+        sim = MultiFactorSpotSim(
+            "D", factors, 0.64, val_date, curve, periods, seed=seed,
+            dtype=jnp.float64,
+        )
+        return sim.simulate_with_factors(2048)
+
+    sims = (simulate(11), simulate(13))
+    return _run(jnp.float32, sims), _run(jnp.float64, sims)
 
 
 def test_f32_npv_close_to_f64(both):
     res32, res64 = both
-    # f32 coefficients flip a handful of near-tie decisions vs f64, giving a
-    # genuinely (slightly) different lower-bound policy — observed ~9e-4
-    # relative divergence at 2048 sims, far below the ~0.6% MC standard error.
-    # The gate is set to catch precision *regressions* an order of magnitude
-    # larger (e.g. single-pass bf16 matmuls bias NPV by -1.4%, commit 16f65ad)
-    # while tolerating benign policy noise.
+    # Identical paths: the only f32-vs-f64 differences are regression
+    # conditioning and a handful of flipped near-tie decisions (a genuinely —
+    # slightly — different lower-bound policy).  The gate is sized to catch
+    # precision regressions an order of magnitude larger (e.g. single-pass
+    # bf16 matmuls bias NPV by -1.4%, commit 16f65ad).
     assert res32.npv == pytest.approx(res64.npv, rel=2e-3)
     assert abs(res32.npv - res64.npv) < 0.5 * res64.val_sim_standard_error
     assert res32.val_sim_standard_error == pytest.approx(
@@ -66,9 +92,8 @@ def test_f32_npv_close_to_f64(both):
 
 def test_f32_deltas_close_to_f64(both):
     """Per-period deltas shift between adjacent near-indifferent days when f32
-    coefficients flip decisions (observed: mean-abs divergence 2.4% of the
-    delta scale, total position 1.2%), so the gate is on aggregates — still an
-    order of magnitude tighter than a real precision regression."""
+    coefficients flip decisions, so the gate is on aggregates — still an order
+    of magnitude tighter than a real precision regression."""
     res32, res64 = both
     d32 = res32.deltas.to_numpy()
     d64 = res64.deltas.to_numpy()
