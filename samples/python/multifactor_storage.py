@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 
 from storage_tpu import (
+    SimulationDataReturned,
     CmdtyStorage,
     RatchetInterp,
     three_factor_seasonal_value,
@@ -57,6 +58,10 @@ results = three_factor_seasonal_value(
     discount_deltas=False,
     seed=12,
     on_progress_update=lambda p: print(f"  progress {p:.0%}"),
+    # Per-sim path panels are needed below for the value_from_sims round trip;
+    # the default (NONE, the reference's own stated intent) streams paths
+    # in-scan and returns no panels.
+    sim_data_returned=SimulationDataReturned.ALL,
 )
 
 print(f"full NPV       {results.npv:>14,.0f}")

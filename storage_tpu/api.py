@@ -61,6 +61,7 @@ def intrinsic_value(
     numerical_tolerance: float = 1e-12,
     dtype=jnp.float32,
     interpolation: str = "linear",
+    grid_scheme: str = "linspace",
 ) -> IntrinsicValuationResults:
     """Intrinsic valuation (reference ``intrinsic.py:42-111``).
 
@@ -68,6 +69,9 @@ def intrinsic_value(
     kernels snap constrained decisions without a tolerance parameter.
     ``interpolation``: 'linear' (default) or 'cubic' (natural cubic spline in
     inventory, the reference's alternative interpolator factory).
+    ``grid_scheme``: 'linspace' (default) or 'fixed_spacing' (the reference's
+    grid layout; makes per-period intrinsic decisions exactly comparable to
+    the reference's profiles).
     """
     del numerical_tolerance  # no-op; see tests/test_numerical_tolerance.py
     storage = cmdty_storage
@@ -102,6 +106,7 @@ def intrinsic_value(
         num_grid_points=num_inventory_grid_points,
         dtype=dtype,
         interpolation=interpolation,
+        grid_scheme=grid_scheme,
     )
     profile = profile_data_frame(
         inputs.periods,

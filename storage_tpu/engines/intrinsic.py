@@ -69,7 +69,8 @@ def _step_inputs(c: tp.Dict[str, jnp.ndarray], t_slice):
 @partial(
     jax.jit,
     static_argnames=(
-        "num_extra_decisions", "terminal_fn", "ratchet_is_step", "interpolation"
+        "num_extra_decisions", "terminal_fn", "ratchet_is_step", "interpolation",
+        "uniform_grids",
     ),
 )
 def _intrinsic_core(
@@ -79,9 +80,14 @@ def _intrinsic_core(
     terminal_fn,
     ratchet_is_step: bool,
     interpolation: str = "linear",
+    uniform_grids: bool = True,
 ):
     if interpolation not in ("linear", "cubic"):
         raise ValueError("interpolation must be 'linear' or 'cubic'.")
+    if not uniform_grids and interpolation == "cubic":
+        raise ValueError(
+            "cubic interpolation requires the (uniform) linspace grid scheme."
+        )
     cubic_solver = (
         interp.natural_cubic_solver(arrays["grids"].shape[1])
         if interpolation == "cubic"
@@ -158,8 +164,14 @@ def _intrinsic_core(
             continuation = interp.interp_vector_cubic(
                 x["grid_next"], v_next_grid, moments, inv_after
             )
-        else:
+        elif uniform_grids:
             continuation = interp.interp_vector(x["grid_next"], v_next_grid, inv_after)
+        else:
+            # Fixed-spacing grids are non-uniform (capped + padded at the band
+            # upper bound) — general segment search.
+            continuation = interp.interp_vector_general(
+                x["grid_next"], v_next_grid, inv_after
+            )
         total = pv + continuation
         best = jnp.argmax(total, axis=-1)
         take = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
@@ -229,9 +241,25 @@ def intrinsic_valuation(
     num_extra_decisions: int = 0,
     dtype=jnp.float32,
     interpolation: str = "linear",
+    grid_scheme: str = "linspace",
 ) -> IntrinsicEngineResult:
-    """Run the intrinsic DP.  Inputs are host arrays from the precompute stage."""
-    grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
+    """Run the intrinsic DP.  Inputs are host arrays from the precompute stage.
+
+    ``grid_scheme``: 'linspace' (default; per-band linspace, uniform rows) or
+    'fixed_spacing' (the reference's FixedSpacingStateSpaceGridCalc layout —
+    global-range spacing from the band lower bound, capped at the upper; use
+    for exact per-period decision parity with the reference's intrinsic
+    profiles, tests/test_reference_goldens.py)."""
+    if grid_scheme == "linspace":
+        grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
+    elif grid_scheme == "fixed_spacing":
+        grids = gridmod.inventory_grids_fixed_spacing(
+            inventory_lower, inventory_upper,
+            float(np.min(compiled.min_inv)), float(np.max(compiled.max_inv)),
+            num_grid_points,
+        )
+    else:
+        raise ValueError("grid_scheme must be 'linspace' or 'fixed_spacing'.")
     arrays = {
         "grids": jnp.asarray(grids, dtype),
         "fwd": jnp.asarray(fwd, dtype),
@@ -257,4 +285,5 @@ def intrinsic_valuation(
         terminal_fn,
         compiled.ratchet_is_step,
         interpolation,
+        uniform_grids=(grid_scheme == "linspace"),
     )

@@ -382,15 +382,25 @@ def lsmc_backward(
             grids.dtype,
         )
         # Previous-step slices (clamped at t=0), consumed by the in-kernel
-        # moment accumulation of the NEXT iteration's design matrix.
-        per_step["spot_prev"] = jnp.concatenate(
-            [spot_reg[0:1], spot_reg[: n - 1]], axis=0
-        )
-        per_step["factors_prev"] = jnp.concatenate(
-            [factors_reg[0:1], factors_reg[: n - 1]], axis=0
-        )
+        # moment accumulation of the NEXT iteration's design matrix: indexed
+        # dynamically out of the closed-over panels (shifted-copy panels as
+        # scan xs measured ~170 ms slower at the bench config — the extra
+        # panel materialisation defeats XLA's buffer reuse).
+        per_step["idx"] = jnp.arange(n)
+
+        def fused_body_materialised(carry, x):
+            x = dict(x)
+            prev = jnp.maximum(x.pop("idx") - 1, 0)
+            x["spot_prev"] = jax.lax.dynamic_index_in_dim(
+                spot_reg, prev, keepdims=False
+            )
+            x["factors_prev"] = jax.lax.dynamic_index_in_dim(
+                factors_reg, prev, keepdims=False
+            )
+            return fused_body(carry, x)
+
         (v0, _, _, _, _), regression = jax.lax.scan(
-            fused_body, (v_end, xtx0, xty0, mean0, std0), per_step,
+            fused_body_materialised, (v_end, xtx0, xty0, mean0, std0), per_step,
             reverse=True,
         )
         return v0, regression
@@ -464,6 +474,17 @@ def _stream_draw(stream: StreamedSims, t, antithetic: bool):
     )
 
 
+def _stream_draw_block(stream: StreamedSims, t_idx, antithetic: bool):
+    """[T, F, S] draws for a contiguous block of steps in one fused hash call
+    (identical values to per-step _stream_draw; see
+    spot_sim.multi_step_normals)."""
+    f = stream.decay.shape[1]
+    return spot_sim_mod.multi_step_normals(
+        stream.key, t_idx[0], t_idx.shape[0], stream.path_ids, f, antithetic,
+        stream.decay.dtype,
+    )
+
+
 def _stream_terminal_state(stream: StreamedSims, x_nm1, n: int, antithetic: bool):
     """Advance the factor state one final step to the end period and price it."""
     z_n = _stream_draw(stream, jnp.asarray(n), antithetic)
@@ -482,15 +503,17 @@ def _stream_warmup(stream: StreamedSims, n: int, seg_len: int, antithetic: bool)
     s = stream.path_ids.shape[0]
     f = stream.decay.shape[1]
     dtype = stream.decay.dtype
-    x0 = jnp.zeros((s, f), dtype)
+    x0 = jnp.zeros((f, s), dtype)
 
     def chain(x, xs):
+        t_idx, d_seg, c_seg = xs
+        z_seg = _stream_draw_block(stream, t_idx, antithetic)
+
         def body(xc, one):
-            t, d_k, c_k = one
-            z = _stream_draw(stream, t, antithetic)
+            z, d_k, c_k = one
             return spot_sim_mod.ou_step(xc, z, d_k, c_k), None
 
-        x_out, _ = jax.lax.scan(body, x, xs)
+        x_out, _ = jax.lax.scan(body, x, (z_seg, d_seg, c_seg))
         return x_out
 
     steps = (jnp.arange(n), stream.decay[:n], stream.chol[:n])
@@ -503,7 +526,7 @@ def _stream_warmup(stream: StreamedSims, n: int, seg_len: int, antithetic: bool)
     if m > 0:
         x_tail, checkpoints = jax.lax.scan(warm_seg, x0, full)
     else:
-        x_tail, checkpoints = x0, jnp.zeros((0, s, f), dtype)
+        x_tail, checkpoints = x0, jnp.zeros((0, f, s), dtype)
     ragged_entry = x_tail
     x_last = chain(x_tail, ragged) if r > 0 else x_tail  # x_{n-1}
     return checkpoints, ragged_entry, x_last
@@ -516,18 +539,20 @@ def _regen_segment(stream: StreamedSims, entry_state, seg, antithetic: bool,
     previous-step slices the fused kernel consumes.  ``is_first_segment`` is a
     traced bool selecting the t=0 clamp (prev = the step itself)."""
 
+    z_seg = _stream_draw_block(stream, seg["t_idx"], antithetic)
+
     def body(x, one):
-        z = _stream_draw(stream, one["t_idx"], antithetic)
+        z, one = one
         x_new = spot_sim_mod.ou_step(x, z, one["sim_decay"], one["sim_chol"])
         spot = spot_sim_mod.spot_from_state(
             x_new, one["sim_fwd"], one["sim_hv"], one["sim_vols"]
         )
-        return x_new, (spot, x_new.T)
+        return x_new, (spot, x_new)
 
-    _, (spot_seg, fac_seg) = jax.lax.scan(body, entry_state, seg)
+    _, (spot_seg, fac_seg) = jax.lax.scan(body, entry_state, (z_seg, seg))
     if not with_prev:
         return spot_seg, fac_seg, None, None
-    entry_fac = jnp.transpose(entry_state)  # [F, S]
+    entry_fac = entry_state  # already [F, S]
     entry_spot = spot_sim_mod.spot_from_state(
         entry_state, seg["sim_fwd_prev"][0], seg["sim_hv_prev"][0],
         seg["sim_vols_prev"][0],
@@ -537,6 +562,24 @@ def _regen_segment(stream: StreamedSims, entry_state, seg, antithetic: bool,
     spot_prev = jnp.concatenate([first_prev_spot[None], spot_seg[:-1]], axis=0)
     fac_prev = jnp.concatenate([first_prev_fac[None], fac_seg[:-1]], axis=0)
     return spot_seg, fac_seg, spot_prev, fac_prev
+
+
+def _process_backward_segment(stream, carry, entry_state, seg, is_first_segment,
+                              body, use_fused_moments: bool, antithetic: bool):
+    """Regenerate one segment's paths and run the backward bodies over it
+    (shared by the fully-jitted scan-over-segments and the host-chunked
+    progress/cancellation driver)."""
+    spot_seg, fac_seg, spot_prev, fac_prev = _regen_segment(
+        stream, entry_state, seg, antithetic, is_first_segment,
+        with_prev=use_fused_moments,
+    )
+    seg = dict(seg)
+    seg["spot"] = spot_seg
+    seg["factors"] = fac_seg
+    if use_fused_moments:
+        seg["spot_prev"] = spot_prev
+        seg["factors_prev"] = fac_prev
+    return jax.lax.scan(body, carry, seg, reverse=True)
 
 
 def lsmc_backward_streamed(
@@ -595,7 +638,7 @@ def lsmc_backward_streamed(
 
     if use_fused_moments:
         xtx0, xty0, mean0, std0 = _fused_bootstrap(
-            monomials, spot_last, jnp.transpose(x_last), v_end, axis_name, dtype
+            monomials, spot_last, x_last, v_end, axis_name, dtype
         )
         carry = (v_end, xtx0, xty0, mean0, std0)
         body = fused_body
@@ -604,17 +647,10 @@ def lsmc_backward_streamed(
         body = plain_body
 
     def process_segment(carry, entry_state, seg, is_first_segment):
-        spot_seg, fac_seg, spot_prev, fac_prev = _regen_segment(
-            stream, entry_state, seg, antithetic, is_first_segment,
-            with_prev=use_fused_moments,
+        return _process_backward_segment(
+            stream, carry, entry_state, seg, is_first_segment, body,
+            use_fused_moments, antithetic,
         )
-        seg = dict(seg)
-        seg["spot"] = spot_seg
-        seg["factors"] = fac_seg
-        if use_fused_moments:
-            seg["spot_prev"] = spot_prev
-            seg["factors_prev"] = fac_prev
-        return jax.lax.scan(body, carry, seg, reverse=True)
 
     if remat:
         process_segment = jax.checkpoint(process_segment, prevent_cse=False)
@@ -1077,13 +1113,13 @@ def lsmc_forward_streamed(
         x["spot"] = spot_sim_mod.spot_from_state(
             x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
         )
-        x["factors"] = jnp.transpose(x_new)
+        x["factors"] = x_new  # [F, S] state layout
         (new_inventory, new_pv), outputs = body((inventory, pv), x)
         return (new_inventory, new_pv, x_new), outputs
 
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     pv0 = jnp.zeros((s_local,), dtype)
-    x0 = jnp.zeros((s_local, f), dtype)
+    x0 = jnp.zeros((f, s_local), dtype)
     if not remat:
         (final_inventory, pv_by_sim, x_last), outputs = jax.lax.scan(
             streamed_body, (inv0, pv0, x0), per_step
@@ -1426,3 +1462,237 @@ def build_engine_arrays(
         "ratchet_min": jnp.asarray(compiled.ratchet_min, dtype),
         "ratchet_max": jnp.asarray(compiled.ratchet_max, dtype),
     }
+
+
+# ---------------------------------------------------- host-chunked execution
+#
+# Reference-granularity progress + cancellation (LsmcStorageValuation.cs
+# :343-345,521 polls once per period; a compiled scan cannot call the host).
+# The streamed engine's segment structure makes a host-driven variant cheap:
+# the backward/forward scans execute segment-by-segment from Python, with the
+# host invoking a callback between segments — progress every ``seg_len``
+# steps and cooperative cancellation with bounded latency, at the cost of one
+# dispatch per segment (~23 dispatches for the daily benchmark; no measurable
+# slowdown, pinned by tests/test_progress_cancellation.py).
+
+
+@partial(jax.jit, static_argnames=("seg_len", "antithetic"))
+def _stream_warmup_jit(stream: StreamedSims, seg_len: int, antithetic: bool):
+    n = stream.decay.shape[0] - 1
+    seg_len = max(1, min(seg_len, n))
+    return _stream_warmup(stream, n, seg_len, antithetic)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("monomials", "terminal_fn", "axis_name", "fused", "antithetic"),
+)
+def _backward_init_streamed_jit(
+    arrays, stream: StreamedSims, x_last,
+    *, monomials, terminal_fn, axis_name, fused, antithetic,
+):
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    dtype = grids.dtype
+    s = stream.path_ids.shape[0]
+    _, spot_end = _stream_terminal_state(stream, x_last, n, antithetic)
+    v_end = _terminal_values(terminal_fn, spot_end, grids[n], grids.shape[1], s, dtype)
+    if not fused:
+        return v_end
+    spot_last = spot_sim_mod.spot_from_state(
+        x_last, stream.fwd[n - 1], stream.half_var[n - 1], stream.vols[n - 1]
+    )
+    xtx0, xty0, mean0, std0 = _fused_bootstrap(
+        monomials, spot_last, x_last, v_end, axis_name, dtype
+    )
+    return (v_end, xtx0, xty0, mean0, std0)
+
+
+_BWD_SEG_STATICS = (
+    "monomials", "num_extra_decisions", "ratchet_is_step", "axis_name",
+    "use_pallas", "snap_interp", "pred_passes", "antithetic", "fused",
+)
+
+
+@partial(jax.jit, static_argnames=_BWD_SEG_STATICS)
+def _backward_segment_chunk_jit(
+    stream: StreamedSims, carry, entry_state, seg, is_first,
+    *, monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
+    snap_interp, pred_passes, antithetic, fused,
+):
+    fused_body, plain_body = _backward_bodies(
+        monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
+        snap_interp, pred_passes,
+    )
+    return _process_backward_segment(
+        stream, carry, entry_state, seg, is_first,
+        fused_body if fused else plain_body, fused, antithetic,
+    )
+
+
+_FWD_SEG_STATICS = (
+    "monomials", "num_extra_decisions", "discount_deltas", "ratchet_is_step",
+    "axis_name", "antithetic", "fused",
+)
+
+
+@partial(jax.jit, static_argnames=_FWD_SEG_STATICS)
+def _forward_segment_chunk_jit(
+    stream: StreamedSims, carry, seg,
+    *, monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
+    axis_name, antithetic, fused,
+):
+    s_local = stream.path_ids.shape[0]
+    dtype = carry[0].dtype
+    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    fused_body, plain_body = _forward_bodies(
+        monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
+        axis_name, False, s_local, sim_tile, dtype,
+    )
+    body = fused_body if fused else plain_body
+
+    def streamed_body(c, x):
+        inventory, pv, x_state = c
+        z = _stream_draw(stream, x["t_idx"], antithetic)
+        x_new = spot_sim_mod.ou_step(x_state, z, x["sim_decay"], x["sim_chol"])
+        x = dict(x)
+        x["spot"] = spot_sim_mod.spot_from_state(
+            x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
+        )
+        x["factors"] = x_new  # [F, S] state layout
+        (new_inventory, new_pv), outputs = body((inventory, pv), x)
+        return (new_inventory, new_pv, x_new), outputs
+
+    return jax.lax.scan(streamed_body, carry, seg)
+
+
+def lsmc_core_streamed_chunked(
+    arrays: tp.Dict[str, jnp.ndarray],
+    sim_inputs: tp.Dict[str, jnp.ndarray],
+    reg_key: jax.Array,
+    val_key: jax.Array,
+    path_ids: jnp.ndarray,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    use_pallas: bool = False,
+    snap_interp: tp.Optional[bool] = None,
+    pred_passes: int = 2,
+    seg_len: int = 16,
+    antithetic: bool = False,
+    same_sims: bool = False,
+    return_regression: bool = False,
+    segment_cb: tp.Optional[tp.Callable[[str, int, int], None]] = None,
+) -> tp.Dict[str, jnp.ndarray]:
+    """``lsmc_core_streamed`` with host-driven segments: identical numbers
+    (same RNG stream, same segment regeneration, same bodies — pinned by
+    tests/test_progress_cancellation.py), plus ``segment_cb(phase, done,
+    total)`` fired after every ``seg_len``-step segment of the backward and
+    forward passes.  Raising from the callback aborts the valuation between
+    segments (cooperative cancellation with ≤ seg_len steps of latency).
+    Single-process, non-collective execution (``axis_name=None``)."""
+    if snap_interp is None:
+        snap_interp = use_pallas
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    seg_len = max(1, min(seg_len, n))
+    m, r = n // seg_len, n % seg_len
+    total = m + (1 if r else 0)
+    dtype = grids.dtype
+    s_local = path_ids.shape[0]
+    fused = use_pallas and sim_inputs["decay"].shape[1] > 0
+
+    reg_stream = StreamedSims(
+        decay=sim_inputs["decay"], chol=sim_inputs["chol"],
+        vols=sim_inputs["vols"], half_var=sim_inputs["half_var"],
+        fwd=sim_inputs["fwd"], key=reg_key, path_ids=path_ids,
+    )
+    val_stream = reg_stream._replace(key=reg_key if same_sims else val_key)
+
+    def tick(phase, done):
+        if segment_cb is not None:
+            segment_cb(phase, done, total)
+
+    # ---- backward, latest segment first.
+    checkpoints, ragged_entry, x_last = _stream_warmup_jit(
+        reg_stream, seg_len, antithetic
+    )
+    carry = _backward_init_streamed_jit(
+        arrays, reg_stream, x_last, monomials=monomials, terminal_fn=terminal_fn,
+        axis_name=None, fused=fused, antithetic=antithetic,
+    )
+    per_step = _backward_per_step(arrays)
+    per_step.update(_stream_step_arrays(reg_stream, n))
+    statics = dict(
+        monomials=monomials, num_extra_decisions=num_extra_decisions,
+        ratchet_is_step=ratchet_is_step, axis_name=None, use_pallas=use_pallas,
+        snap_interp=snap_interp, pred_passes=pred_passes, antithetic=antithetic,
+        fused=fused,
+    )
+    reg_chunks: tp.List[tp.Any] = [None] * total
+    done = 0
+    if r > 0:
+        seg = jax.tree.map(lambda a: a[m * seg_len :], per_step)
+        carry, reg_chunks[total - 1] = _backward_segment_chunk_jit(
+            reg_stream, carry, ragged_entry, seg, jnp.asarray(m == 0), **statics
+        )
+        done += 1
+        tick("backward", done)
+    for i in reversed(range(m)):
+        seg = jax.tree.map(lambda a: a[i * seg_len : (i + 1) * seg_len], per_step)
+        carry, reg_chunks[i] = _backward_segment_chunk_jit(
+            reg_stream, carry, checkpoints[i], seg, jnp.asarray(i == 0), **statics
+        )
+        done += 1
+        tick("backward", done)
+    regression = jax.tree.map(
+        lambda *chunks: jnp.concatenate(chunks, axis=0), *reg_chunks
+    )
+    v0 = carry[0] if fused else carry
+
+    # ---- forward, segments in time order.
+    fwd_fused = _resolve_forward_fused(
+        use_pallas, False, dtype, decision_kernel.pick_sim_tile(s_local)
+    )
+    fper = _forward_per_step(arrays, regression, fwd_fused)
+    fper.update(_stream_step_arrays(val_stream, n))
+    fstatics = dict(
+        monomials=monomials, num_extra_decisions=num_extra_decisions,
+        discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
+        axis_name=None, antithetic=antithetic, fused=fwd_fused,
+    )
+    inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
+    fcarry = (inv0, jnp.zeros((s_local,), dtype),
+              jnp.zeros((sim_inputs["decay"].shape[1], s_local), dtype))
+    out_chunks = []
+    done = 0
+    for i in range(m):
+        seg = jax.tree.map(lambda a: a[i * seg_len : (i + 1) * seg_len], fper)
+        fcarry, outs = _forward_segment_chunk_jit(val_stream, fcarry, seg, **fstatics)
+        out_chunks.append(outs)
+        done += 1
+        tick("forward", done)
+    if r > 0:
+        seg = jax.tree.map(lambda a: a[m * seg_len :], fper)
+        fcarry, outs = _forward_segment_chunk_jit(val_stream, fcarry, seg, **fstatics)
+        out_chunks.append(outs)
+        done += 1
+        tick("forward", done)
+    outputs = jax.tree.map(
+        lambda *chunks: jnp.concatenate(chunks, axis=0), *out_chunks
+    )
+    final_inventory, pv_by_sim, x_last_f = fcarry
+    _, spot_end = _stream_terminal_state(val_stream, x_last_f, n, antithetic)
+    result = _forward_finalise(
+        outputs, final_inventory, pv_by_sim, spot_end, terminal_fn,
+        None, False, s_local, dtype,
+    )
+    result["backward_npv"] = _global_mean_over_sims(v0[0], None)
+    if return_regression:
+        result["regression_mean"] = regression["mean"]
+        result["regression_std"] = regression["std"]
+        result["regression_coeffs"] = regression["coeffs"]
+    return result

@@ -222,6 +222,36 @@ def inventory_grids(
     return grids
 
 
+def inventory_grids_fixed_spacing(
+    lower: np.ndarray,
+    upper: np.ndarray,
+    global_min: float,
+    global_max: float,
+    num_grid_points: int,
+) -> np.ndarray:
+    """Per-period grids replicating the reference's
+    ``FixedSpacingStateSpaceGridCalc`` (FixedSpacingStateSpaceGridCalc.cs:45-63
+    + CreateForFixedNumberOfPointsOnGlobalInventoryRange): spacing =
+    global_range/(G-1); each period's points run lower, lower+h, ... capped at
+    upper.  Rows are padded to a static width by repeating the upper bound
+    (the engines' interpolation treats zero-span segments as their left
+    node), keeping the jit-friendly rectangular layout."""
+    g = max(int(num_grid_points), 2)
+    h = (float(global_max) - float(global_min)) / (g - 1)
+    if h <= 0:
+        return np.tile(lower[:, None], (1, 2))
+    # Width: enough slots for the widest band (count = ceil(span/h) + 1).
+    spans = np.asarray(upper, dtype=np.float64) - np.asarray(lower, dtype=np.float64)
+    width = int(np.ceil(spans.max() / h - 1e-12)) + 1 if spans.max() > 0 else 1
+    width = max(width + 1, 2)  # +1: the capped point at the band upper bound
+    num_periods = len(lower)
+    grids = np.empty((num_periods, width))
+    for t in range(num_periods):
+        pts = lower[t] + h * np.arange(width)
+        grids[t] = np.minimum(pts, upper[t])
+    return grids
+
+
 # ---------------------------------------------------------------- device side
 
 

@@ -72,7 +72,8 @@ class LsmcValuationParameters:
     numerical_tolerance: float = 1e-12
     on_progress_update: tp.Optional[tp.Callable[[float], None]] = None
     cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None
-    sim_data_returned: SimulationDataReturned = SimulationDataReturned.ALL
+    sim_data_returned: SimulationDataReturned = SimulationDataReturned.NONE
+    # (the C# builder default is the zero flag = None, LsmcValuationParameters.cs:102)
     dtype: tp.Any = jnp.float32
     deltas_method: str = "pathwise"
     checkpoint_path: tp.Optional[str] = None

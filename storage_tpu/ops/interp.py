@@ -78,6 +78,25 @@ def interp_vector(grid, values, x):
     return lo_vals + (hi_vals - lo_vals) * w_hi
 
 
+def interp_vector_general(grid, values, x):
+    """Linear interpolation on a NON-uniform, non-decreasing 1-D ``grid`` [G]
+    (clamped).  Supports the reference's fixed-spacing grids, whose last
+    segment is truncated at the band upper bound and whose padding repeats
+    that bound (zero-span segments yield their left node's value).  Index by
+    counting nodes <= x — G is small for the intrinsic engine, and the
+    vectorised compares beat a searchsorted lowering on TPU."""
+    g = grid.shape[0]
+    x_c = jnp.clip(x, grid[0], grid[g - 1])
+    idx = jnp.zeros(jnp.shape(x_c), dtype=jnp.int32)
+    for r in range(1, g - 1):
+        idx = idx + (x_c >= grid[r]).astype(jnp.int32)
+    x0 = grid[idx]
+    x1 = grid[idx + 1]
+    span = x1 - x0
+    w = jnp.where(span > 0, (x_c - x0) / jnp.where(span > 0, span, 1.0), 0.0)
+    return values[idx] * (1 - w) + values[idx + 1] * w
+
+
 def natural_cubic_solver(num_points: int) -> jnp.ndarray:
     """Inverse of the natural-cubic-spline tridiagonal system for a uniform
     grid of ``num_points`` nodes: interior second-derivative moments satisfy

@@ -74,21 +74,31 @@ def test_npv_and_other_outputs_unchanged(both):
 
 def test_adjoint_deltas_match_finite_difference(both):
     """Defining property: AD delta == dNPV/dF(t) (same seeds make the central
-    difference deterministic).  Periods are chosen where the FD is h-stable;
-    near decision boundaries the FD picks up discrete policy-switch jumps of
-    the regressed argmax (e.g. 2020-02-07 here: central difference swings
-    -2514 -> -204 as h goes 1e-3 -> 1e-1) which the a.e. gradient correctly
-    excludes — that artifact decays with sim count, the gradient does not."""
+    difference deterministic).  Near decision boundaries the FD picks up
+    discrete policy-switch jumps of the regressed argmax which the a.e.
+    gradient correctly excludes, so each candidate period is first checked
+    for h-STABILITY (central differences at h and 3h agreeing) and unstable
+    periods are skipped; at least two periods must qualify."""
     _pathwise, adjoint = both
     fwd = market()
     h = 1e-3
-    for p in (pd.Period("2020-01-05", freq="D"), pd.Period("2020-01-20", freq="D")):
-        bump = pd.Series(0.0, index=fwd.index)
-        bump[p] = h
-        up = run(fwd + bump).npv
-        down = run(fwd - bump).npv
-        fd = (up - down) / (2 * h)
-        assert adjoint.deltas[p] == pytest.approx(fd, rel=5e-4, abs=1e-4)
+    candidates = [
+        pd.Period(d, freq="D")
+        for d in ("2020-01-05", "2020-01-12", "2020-01-20", "2020-01-27")
+    ]
+    checked = 0
+    for p in candidates:
+        def fd_at(step):
+            bump = pd.Series(0.0, index=fwd.index)
+            bump[p] = step
+            return (run(fwd + bump).npv - run(fwd - bump).npv) / (2 * step)
+
+        fd1, fd3 = fd_at(h), fd_at(3 * h)
+        if abs(fd1 - fd3) > max(0.01 * abs(fd1), 1.0):
+            continue  # policy-switch jump inside the stencil
+        assert adjoint.deltas[p] == pytest.approx(fd1, rel=1e-3, abs=0.05)
+        checked += 1
+    assert checked >= 2, "too few h-stable periods to validate the gradient"
 
 
 def test_adjoint_equals_pathwise_under_multifactor_model(both):

@@ -5,10 +5,11 @@ The reference pins exact outputs under its Mersenne-Twister seeds
 are equally deterministic, so they are pinned HERE (CPU f64, fixed seeds, the
 conftest platform).  A change in any of these numbers means an intentional
 numerical change — update the goldens consciously, never loosen the tolerance.
-(Round 3 re-pinned them once: the RNG layout moved from per-path to per-(step,
-path) keying so the valuation scans can regenerate any step's draws in
-isolation — see models/spot_sim.step_normals.  Both layouts stay within 1 MC
-standard error of the reference's Mersenne-Twister values.)
+(Round 3 re-pinned them: the RNG layout moved from per-path keying to
+per-step keys addressing the threefry counter space by (path, factor) — see
+models/spot_sim.step_normals — so the valuation scans can regenerate any
+step's draws in isolation at minimum hash cost.  Old and new layouts both sit
+well within 1 MC standard error of the reference's Mersenne-Twister values.)
 
 Statistical agreement with the reference's own values is asserted separately
 in test_lsmc.py (within 2 MC standard errors).
@@ -47,11 +48,11 @@ def test_two_factor_golden():
         _factors_2f(val_date), 0.64, 500, "1 + x0 + x0**2 + x1 + x1*x1",
         False, seed=11, fwd_sim_seed=11, dtype=F64,
     )
-    assert res.npv == pytest.approx(1_797_024.1921877030, rel=REL)
-    assert res.val_sim_standard_error == pytest.approx(21_175.705309548590, rel=REL)
+    assert res.npv == pytest.approx(1_781_507.8977961750, rel=REL)
+    assert res.val_sim_standard_error == pytest.approx(22_134.652747822540, rel=REL)
     assert res.intrinsic_npv == pytest.approx(1_705_564.2806059965, rel=REL)
-    assert res.deltas.iloc[0] == pytest.approx(-322.8546558196371, rel=1e-6)
-    assert res.deltas.iloc[2] == pytest.approx(-348.6186409624105, rel=1e-6)
+    assert res.deltas.iloc[0] == pytest.approx(-416.5957186118865, rel=1e-6)
+    assert res.deltas.iloc[2] == pytest.approx(-414.2181240600017, rel=1e-6)
 
 
 def test_three_factor_seasonal_golden():
@@ -63,8 +64,8 @@ def test_three_factor_seasonal_golden():
         basis_funcs="1 + x_st + x_sw + x_lt + x_st**2 + x_sw**2 + x_lt**2",
         discount_deltas=False, seed=11, fwd_sim_seed=11, dtype=F64,
     )
-    assert res.npv == pytest.approx(1_784_353.3923087327, rel=REL)
-    assert res.val_sim_standard_error == pytest.approx(19_693.301653765840, rel=REL)
+    assert res.npv == pytest.approx(1_761_634.7157673468, rel=REL)
+    assert res.val_sim_standard_error == pytest.approx(19_878.993809648473, rel=REL)
 
 
 def test_intrinsic_golden():

@@ -200,20 +200,24 @@ class TestRegressionBaselines:
         progresses = []
         res = multi_factor_value(
             simple_reg_storage(), val_date, 0.0, fwd, rates, settle, factors, 0.64,
-            500, "1 + x0 + x0**2 + x1 + x1*x1", False, seed=11, fwd_sim_seed=11,
+            4096, "1 + x0 + x0**2 + x1 + x1*x1", False, seed=11, fwd_sim_seed=11,
             dtype=F64, on_progress_update=progresses.append,
             sim_data_returned=SimulationDataReturned.ALL,
         )
         # Reference pinned-seed outputs (test_multi_factor.py:99-103); with an
-        # independent RNG the acceptance is within 2 MC standard errors.
+        # independent RNG the acceptance is within 2 of the reference's MC
+        # standard errors (its 500-sim pin carries that uncertainty itself);
+        # 4096 sims keep OUR estimator noise from stacking on top.
         assert abs(res.npv - 1_780_380.7581833513) < 2 * 21_405.34
-        assert res.val_sim_standard_error == pytest.approx(21_405.34, rel=0.25)
+        assert res.val_sim_standard_error == pytest.approx(
+            21_405.34 * (500 / 4096) ** 0.5, rel=0.25
+        )
         assert res.intrinsic_npv == pytest.approx(1_703_773.0757192627, rel=2e-3)
         assert res.extrinsic_npv > 0
         assert progresses[-1] == 1.0
-        assert res.sim_spot_regress.shape == (123, 500)
-        assert res.sim_inventory.shape == (123, 500)
-        assert res.sim_inject_withdraw.shape == (122, 500)
+        assert res.sim_spot_regress.shape == (123, 4096)
+        assert res.sim_inventory.shape == (123, 4096)
+        assert res.sim_inject_withdraw.shape == (122, 4096)
         assert len(res.sim_factors_regress) == 2
         # Lower-bound property: forward NPV cannot exceed intrinsic + full
         # option value by pathology; sanity: NPV >= intrinsic - 2 SE.
@@ -224,13 +228,16 @@ class TestRegressionBaselines:
         res = three_factor_seasonal_value(
             simple_reg_storage(), val_date, 0.0, fwd, rates, settle,
             spot_mean_reversion=16.2, spot_vol=1.15, long_term_vol=0.14,
-            seasonal_vol=0.18, num_sims=500,
+            seasonal_vol=0.18, num_sims=4096,
             basis_funcs="1 + x_st + x_sw + x_lt + x_st**2 + x_sw**2 + x_lt**2",
             discount_deltas=False, seed=11, fwd_sim_seed=11, dtype=F64,
         )
-        # Reference: NPV 1,766,460.14, SE 18,459.70 (test_multi_factor.py:259-263).
+        # Reference: NPV 1,766,460.14, SE 18,459.70 (test_multi_factor.py:259-263);
+        # acceptance within 2 of the reference's own SE (see the 2F test).
         assert abs(res.npv - 1_766_460.137569665) < 2 * 18_459.70
-        assert res.val_sim_standard_error == pytest.approx(18_459.70, rel=0.25)
+        assert res.val_sim_standard_error == pytest.approx(
+            18_459.70 * (500 / 4096) ** 0.5, rel=0.25
+        )
 
 
 class TestValueFromSims:

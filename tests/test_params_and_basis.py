@@ -119,7 +119,15 @@ class TestParametersObject:
         from storage_tpu.checkpoint import RegressionCheckpoint, revalue_from_checkpoint
 
         path = str(tmp_path / "reg.npz")
-        params = self._params_builder().with_checkpoint_path(path).build()
+        # The valuation-sim panels are fed back below, so request them
+        # explicitly (the default is NONE, matching the C# builder's zero
+        # flag).
+        params = (
+            self._params_builder()
+            .with_checkpoint_path(path)
+            .with_sim_data_returned("all")
+            .build()
+        )
         res = lsmc_value(params)
 
         ckpt = RegressionCheckpoint.load(path)

@@ -22,9 +22,12 @@ Notes on known deviations (documented in api_lsmc.py / grid.py):
   ``trigger_prices`` column reports the price at the max withdrawal volume, so
   the golden comparison reads the near-alternative point from
   ``trigger_profiles`` instead;
-* intrinsic profiles are compared in aggregate only: with a flat curve and
-  monthly settlement, within-month injection timing is exactly value-tied, so
-  equally-optimal schedules differ per-period (ours injects later).
+* intrinsic profiles under the default linspace grids are compared in
+  aggregate only: with a flat curve and monthly settlement, within-month
+  injection timing is exactly value-tied, so equally-optimal schedules differ
+  per-period.  Under ``grid_scheme="fixed_spacing"`` (the reference's grid
+  layout) every near-tie resolves identically and the per-period profiles and
+  intrinsic NPV match the goldens exactly (TestIntrinsicExactParity).
 """
 import os.path as path
 
@@ -351,3 +354,35 @@ class TestReadmeBaselines:
             num_inventory_grid_points=101, dtype=F64,
         )
         assert npv == pytest.approx(24_799.09, rel=5e-4)
+
+
+class TestIntrinsicExactParity:
+    """Per-period intrinsic-profile equality with the reference (VERDICT r02
+    item 8): under ``grid_scheme="fixed_spacing"`` (the reference's
+    FixedSpacingStateSpaceGridCalc layout) the DP resolves every within-month
+    near-tie identically, so decisions, per-period PVs and the NPV match the
+    golden CSVs exactly — not just in aggregate."""
+
+    @pytest.mark.parametrize("folder", ["multi_factor_test-1", "three_factor_test-1"])
+    def test_fixed_spacing_reproduces_reference_per_period(self, folder):
+        goldens = _load_goldens(folder)
+        val_date, fwd, rates, settle = _reg_market()
+        res = intrinsic_value(
+            _reg_facility(), val_date, 0.0, fwd, interest_rates=rates,
+            settlement_rule=settle, dtype=jnp.float64,
+            grid_scheme="fixed_spacing",
+        )
+        ref = goldens["intrinsic_profile"]
+        ours = res.profile.reindex(ref.index)
+        np.testing.assert_allclose(
+            ours["inject_withdraw_volume"].to_numpy(),
+            ref["inject_withdraw_volume"].to_numpy(), atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            ours["period_pv"].to_numpy(), ref["period_pv"].to_numpy(), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ours["inventory"].to_numpy(), ref["inventory"].to_numpy(), atol=1e-6,
+        )
+        # Reference pinned intrinsic NPV (test_multi_factor.py:102) — exact.
+        assert res.npv == pytest.approx(1_703_773.0757192627, rel=1e-12)
