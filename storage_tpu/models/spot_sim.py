@@ -23,6 +23,11 @@ import numpy as np
 import pandas as pd
 from jax.extend import random as jex_random
 
+try:  # fast path: bind the threefry primitive with (hi, lo) operand pairs
+    from jax._src.prng import threefry2x32_p as _threefry2x32_p
+except Exception:  # pragma: no cover - jax internals moved; public fallback
+    _threefry2x32_p = None
+
 from . import multi_factor as mf
 from ..utils import periods as pu
 
@@ -83,6 +88,14 @@ def _hash_counter_pairs(key, hi, lo):
     slower in the simulation sweep).  ``hi``/``lo`` any equal shape; returns
     two word arrays of that shape."""
     key_pair = jax.random.key_data(key)
+    if _threefry2x32_p is not None:
+        # Bind the primitive with the (hi, lo) operands directly: identical
+        # values to the public API's concat/split form (pinned by
+        # tests/test_multi_factor_model.py), but the broadcasted counter
+        # arrays fuse into the hash kernel instead of materialising a
+        # concatenated copy.
+        out = _threefry2x32_p.bind(key_pair[0], key_pair[1], hi, lo)
+        return out[0], out[1]
     out = jex_random.threefry_2x32(
         key_pair, jnp.concatenate([hi.ravel(), lo.ravel()])
     )
