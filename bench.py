@@ -106,6 +106,12 @@ def main():
         f"best={best:.3f}s npv={npv:.1f} se={se:.1f}",
         file=sys.stderr,
     )
+    print(
+        "# cross-session timing drifts ~5-10% on the tunneled backend "
+        "(see BENCH_NOTES_r03.md); BENCH_NUM_SIMS=1048576 runs the 1M-path "
+        "streamed headline config, --scaling the mesh-size sweep",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -82,35 +82,6 @@ def resolve_use_pallas(use_pallas: tp.Optional[bool], num_sims: int, dtype) -> b
     )
 
 
-class LsmcEngineResult(tp.NamedTuple):
-    npv: jnp.ndarray
-    standard_error: jnp.ndarray
-    backward_npv: jnp.ndarray
-    deltas: jnp.ndarray  # [N+1] (last entry 0, as in the reference series)
-    # Expected profile arrays, all [N+1]:
-    profile_inventory: jnp.ndarray  # mean inventory at period start (end: final)
-    profile_inject_withdraw: jnp.ndarray
-    profile_cmdty_consumed: jnp.ndarray
-    profile_inventory_loss: jnp.ndarray
-    profile_pv: jnp.ndarray
-    # Trigger prices, [N, 10] / [N] (NaN where absent):
-    trigger_inject_volumes: jnp.ndarray
-    trigger_inject_prices: jnp.ndarray
-    trigger_withdraw_volumes: jnp.ndarray
-    trigger_withdraw_prices: jnp.ndarray
-    max_inject_volume: jnp.ndarray
-    max_inject_trigger_price: jnp.ndarray
-    max_withdraw_volume: jnp.ndarray
-    max_withdraw_trigger_price: jnp.ndarray
-    # Optional per-sim panels (None unless requested):
-    sim_inventory: tp.Optional[jnp.ndarray]  # [N+1, S]
-    sim_inject_withdraw: tp.Optional[jnp.ndarray]  # [N, S]
-    sim_cmdty_consumed: tp.Optional[jnp.ndarray]  # [N, S]
-    sim_inventory_loss: tp.Optional[jnp.ndarray]  # [N, S]
-    sim_net_volume: tp.Optional[jnp.ndarray]  # [N, S]
-    sim_pv: tp.Optional[jnp.ndarray]  # [N+1, S]
-
-
 def _pmean(x, axis_name):
     if axis_name is None:
         return x
@@ -130,10 +101,6 @@ def _global_mean_over_sims(x, axis_name):
     total = _psum(local_sum, axis_name)
     count = _psum(jnp.asarray(local_n, x.dtype), axis_name)
     return total / count
-
-
-def _step_slice(arrays: tp.Dict[str, jnp.ndarray], sl) -> tp.Dict[str, jnp.ndarray]:
-    return {k: v[sl] for k, v in arrays.items()}
 
 
 def _decision_cashflow_coeffs(decisions, x):
