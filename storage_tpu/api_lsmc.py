@@ -454,7 +454,6 @@ def _lsmc_calc(
         stream_provider is not None
         and not wants_sim_data
         and not wants_path_panels
-        and jax.process_count() == 1
     )
 
     logger.info("Simulating price paths.")
@@ -496,7 +495,10 @@ def _lsmc_calc(
         inputs.inventory_lower, inputs.inventory_upper, num_grid_points, dtype,
     )
     terminal_fn = None if inputs.compiled.must_be_empty_at_end else inputs.compiled.terminal_value
-    interactive = on_progress_update is not None or cancellation_poll is not None
+    interactive = (
+        (on_progress_update is not None or cancellation_poll is not None)
+        and jax.process_count() == 1  # host-chunked loops are per-process
+    )
     with stopwatches.time("lsmc_backward_forward"):
         if use_stream and interactive:
             # Host-chunked streamed execution: the scans run in 16-step
@@ -529,8 +531,20 @@ def _lsmc_calc(
             from .parallel import mesh as pmesh
 
             sim_inputs, reg_key, val_key, same_sims, num_sims = stream_cfg
-            n_dev = len(jax.devices())
-            mesh = pmesh.make_mesh() if num_sims % n_dev == 0 else pmesh.make_mesh(1)
+            if jax.process_count() > 1:
+                # Multi-host internally-simulated valuation: global mesh over
+                # every process's devices; sharded_lsmc_core replicates the
+                # host-identical inputs and each process simulates its own
+                # global path block (path ids from axis_index).
+                from .parallel import distributed as dist
+
+                mesh = dist.global_mesh()
+            else:
+                n_dev = len(jax.devices())
+                mesh = (
+                    pmesh.make_mesh() if num_sims % n_dev == 0
+                    else pmesh.make_mesh(1)
+                )
             result = pmesh.sharded_lsmc_core(
                 mesh, arrays, sim_inputs, reg_key, val_key, num_sims,
                 inputs.starting_inventory, monomials,
@@ -576,6 +590,12 @@ def _lsmc_calc(
         # One reverse-mode sweep through the whole valuation; replaces the
         # pathwise delta series (NPV itself is unchanged: same sims, same
         # policy).
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "deltas_method='adjoint' is single-process for now; in "
+                "multi-host runs use the default pathwise deltas (identical "
+                "under the multi-factor model)."
+            )
         logger.info("Calculating adjoint (AD) deltas.")
         with stopwatches.time("adjoint_deltas"):
             if use_stream:

@@ -146,3 +146,12 @@ def replicate_to_global(tree, mesh: tp.Optional[Mesh] = None):
         return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
 
     return jax.tree_util.tree_map(lift, tree)
+
+
+def replicate_key(key, mesh: tp.Optional[Mesh] = None):
+    """Lift a PRNG key (identical on every process by construction — same
+    seed) into a fully-replicated global key array for multi-process jits."""
+    if process_count() == 1:
+        return key
+    data = replicate_to_global(np.asarray(jax.random.key_data(key)), mesh)
+    return jax.random.wrap_key_data(data)

@@ -238,10 +238,26 @@ def sharded_lsmc_core(
             "Per-sim panels require materialised paths; pass stream=False "
             "or return_sim_data=False."
         )
+    inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
+    if len({d.process_index for d in mesh.devices.flat}) > 1:
+        # Multi-process mesh: every jit input must be a global array.  The
+        # inputs are host-replicated by construction (same curves, same
+        # seeds on every process); path identity comes from axis_index, so
+        # each process simulates exactly its own global path block.
+        from . import distributed as dist
+
+        if return_sim_data:
+            raise ValueError(
+                "Per-sim panels are not available in multi-process runs."
+            )
+        arrays, sim_inputs, inv0 = dist.replicate_to_global(
+            (arrays, sim_inputs, inv0), mesh
+        )
+        reg_key = dist.replicate_key(reg_key, mesh)
+        val_key = dist.replicate_key(val_key, mesh)
     _log_execution(mesh, resolved_pallas, num_sims, stream=bool(stream))
     return _sharded_lsmc_jit(
-        arrays, sim_inputs, reg_key, val_key,
-        jnp.asarray(starting_inventory, arrays["grids"].dtype),
+        arrays, sim_inputs, reg_key, val_key, inv0,
         mesh=mesh, s_local=s_local, monomials=monomials,
         num_extra_decisions=num_extra_decisions, discount_deltas=discount_deltas,
         terminal_fn=terminal_fn, ratchet_is_step=ratchet_is_step,

@@ -86,6 +86,26 @@ def main():
         flush=True,
     )
 
+    # Round 3: INTERNALLY-simulated multi-host valuation — sims drawn inside
+    # the global-mesh shard_map (each process owns its global path block by
+    # axis_index), inputs auto-replicated by sharded_lsmc_core.  Must agree
+    # across processes and with a single-process run of the same call.
+    import pandas as pd
+
+    from storage_tpu import multi_factor_value
+
+    res2 = multi_factor_value(
+        storage, val_date, 500.0, fwd, 0.03, None,
+        [(5.0, pd.Series(0.6, index=fwd.index))], None, 64, "1 + s + x0",
+        False, seed=7, fwd_sim_seed=9, num_inventory_grid_points=30,
+        dtype=jnp.float64,
+    )
+    print(
+        f"RESULT2 proc={proc_id} npv={res2.npv!r} se={res2.val_sim_standard_error!r} "
+        f"delta_sum={res2.deltas.sum()!r}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

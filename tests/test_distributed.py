@@ -68,10 +68,14 @@ def test_two_process_host_local_sims_match_single_process():
         assert p.returncode == 0, f"worker failed:\n{out}"
 
     results = []
+    results2 = []
     for out in outputs:
-        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line in worker output:\n{out}"
         results.append(_parse(lines[0]))
+        lines2 = [l for l in out.splitlines() if l.startswith("RESULT2 ")]
+        assert lines2, f"no RESULT2 line in worker output:\n{out}"
+        results2.append(_parse(lines2[0]))
 
     # Identical across processes (replicated reductions).
     for key in ("npv", "se", "delta_sum", "trig0"):
@@ -84,6 +88,29 @@ def test_two_process_host_local_sims_match_single_process():
     assert results[0]["delta_sum"] == pytest.approx(expected.deltas.sum(), rel=1e-10)
     assert results[0]["trig0"] == pytest.approx(
         expected.trigger_prices["inject_trigger_price"].iloc[0], rel=1e-10
+    )
+
+    # Internally-simulated multi-host valuation (round 3): identical across
+    # processes and equal to a single-process run of the same call (global
+    # path ids -> identical draws; ~1e-8 covers scan-vs-eager ULP noise).
+    import pandas as pd
+
+    from storage_tpu import multi_factor_value
+
+    expected2 = multi_factor_value(
+        storage, val_date, 500.0, fwd, 0.03, None,
+        [(5.0, pd.Series(0.6, index=fwd.index))], None, 64, "1 + s + x0",
+        False, seed=7, fwd_sim_seed=9, num_inventory_grid_points=30,
+        dtype=F64,
+    )
+    for key in ("npv", "se", "delta_sum"):
+        assert results2[0][key] == results2[1][key], key
+    assert results2[0]["npv"] == pytest.approx(expected2.npv, rel=1e-8)
+    assert results2[0]["se"] == pytest.approx(
+        expected2.val_sim_standard_error, rel=1e-8
+    )
+    assert results2[0]["delta_sum"] == pytest.approx(
+        expected2.deltas.sum(), rel=1e-6
     )
 
 
