@@ -1,6 +1,12 @@
 """Phase-split profiling of the bench config on real hardware (dev tool)."""
 import time
 import jax
+
+try:  # share bench.py's persistent compile cache (cold start is minutes)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 import jax.numpy as jnp
 from functools import partial
 

@@ -426,9 +426,8 @@ def _lsmc_calc(
             storage, val_date, inventory, fwd_curve, interest_rates, settlement_rule
         )
 
-    sim_data_flags = sim_data_returned
     wants_sim_data = bool(
-        sim_data_flags
+        sim_data_returned
         & (
             SimulationDataReturned.INVENTORY
             | SimulationDataReturned.INJECT_WITHDRAW_VOLUME
@@ -439,7 +438,7 @@ def _lsmc_calc(
         )
     )
     wants_path_panels = bool(
-        sim_data_flags
+        sim_data_returned
         & (
             SimulationDataReturned.SPOT_REGRESS
             | SimulationDataReturned.SPOT_VALUATION
