@@ -33,6 +33,12 @@ def run_sweep(num_sims_per_chip=None, num_steps=None, num_grid=None,
 
     import jax
 
+    try:  # share bench.py's persistent compile cache
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from __graft_entry__ import _build_case
     import jax.numpy as jnp
     from storage_tpu.parallel import mesh as pmesh
