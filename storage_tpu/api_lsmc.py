@@ -147,6 +147,11 @@ def multi_factor_value(
       terminal-value/inventory-cost structures outside the hand formula's
       assumptions, and it is the natural extension point for sensitivities
       to other curve inputs.
+
+    ``sim_data_returned`` defaults to ``NONE`` — the reference's own stated
+    intent (multi_factor.py:118 "TODO ... change this to default to NONE")
+    and what lets default calls run the streamed/fused fast path; request
+    panels explicitly to feed ``value_from_sims``.
     """
     factor_corrs = mf.validate_multi_factor_params(factors, factor_corrs)
 
