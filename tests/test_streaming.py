@@ -178,3 +178,66 @@ class TestShardedStreaming:
         # 2 sets x (N+1) x S x (F+1) x itemsize
         assert pmesh._panel_bytes(365, 1_048_576, 3, 4) > pmesh.STREAM_THRESHOLD_BYTES
         assert pmesh._panel_bytes(365, 262_144, 3, 4) < pmesh.STREAM_THRESHOLD_BYTES
+
+
+class TestStreamingEdgeCoverage:
+    def test_antithetic_streamed_matches_materialised(self):
+        inputs, arrays, sim_inputs, monomials = build_case()
+        inv0 = jnp.asarray(inputs.starting_inventory, F64)
+        reg = simulate_ou_paths(
+            jax.random.key(7), jnp.arange(64), sim_inputs["decay"],
+            sim_inputs["chol"], sim_inputs["vols"], sim_inputs["half_var"],
+            sim_inputs["fwd"], antithetic=True,
+        )
+        mat = lsmc_engine.lsmc_core(
+            arrays, reg.spot, reg.factors, reg.spot, reg.factors, inv0,
+            monomials, 0, False, None, False, axis_name=None,
+        )
+        stream = lsmc_engine.lsmc_core_streamed(
+            arrays, sim_inputs, jax.random.key(7), jax.random.key(7),
+            jnp.arange(64), inv0, monomials, 0, False, None, False,
+            axis_name=None, seg_len=16, antithetic=True, same_sims=True,
+        )
+        _assert_equivalent(mat, stream)
+
+    def test_hourly_scale_segmentation_smoke(self):
+        """~1 month of hourly steps (720) through the streamed engine at a
+        non-dividing segment length: exercises deep outer scans + a ragged
+        tail at a horizon 18x the default bench, on tiny shapes."""
+        import pandas as pd
+
+        from storage_tpu import CmdtyStorage
+        from storage_tpu.basis import parse_basis_functions
+        from storage_tpu.models import multi_factor as mf
+        from storage_tpu.parallel import mesh as pmesh
+        from storage_tpu.valuation_inputs import prepare_valuation
+
+        start = pd.Period("2021-01-01 00:00", freq="h")
+        storage = CmdtyStorage(
+            "h", start, start + 720, 0.1, 0.1,
+            min_inventory=0.0, max_inventory=2_000.0,
+            max_injection_rate=40.0, max_withdrawal_rate=40.0,
+        )
+        idx = pd.period_range(start, storage.end, freq="h")
+        i = np.arange(len(idx))
+        fwd = pd.Series(index=idx, data=25.0 + 3.0 * np.sin(2 * np.pi * i / 24.0))
+        inputs = prepare_valuation(storage, start, 100.0, fwd, 0.02, None)
+        vol = pd.Series(index=idx.copy(), data=1.0)
+        pre = mf.simulation_precompute(
+            [(40.0, vol)], None, inputs.val_day, list(inputs.periods), "h"
+        )
+        from storage_tpu.engines import lsmc as L
+
+        arrays = L.build_engine_arrays(
+            inputs.compiled, inputs.fwd, inputs.df_settle, inputs.df_flow,
+            inputs.inventory_lower, inputs.inventory_upper, 10, F64,
+        )
+        sim_inputs = pmesh.sim_inputs_from_precompute(pre, inputs.fwd, F64)
+        monomials = tuple(parse_basis_functions("1 + s + x0"))
+        res = L.lsmc_core_streamed(
+            arrays, sim_inputs, jax.random.key(3), jax.random.key(5),
+            jnp.arange(16), jnp.asarray(inputs.starting_inventory, F64),
+            monomials, 0, False, None, False, axis_name=None, seg_len=48,
+        )
+        assert np.isfinite(float(res["npv"]))
+        assert res["deltas"].shape == (721,)
