@@ -467,14 +467,27 @@ def _stream_draw(stream: StreamedSims, t, antithetic: bool):
     )
 
 
-def _stream_draw_block(stream: StreamedSims, t_idx, antithetic: bool):
-    """[T, F, S] draws for a contiguous block of steps in one fused hash call
-    (identical values to per-step _stream_draw; see
-    spot_sim.multi_step_normals)."""
+def _stream_scan_draws(stream: StreamedSims, t_idx, antithetic: bool):
+    """Bulk draws for a contiguous block of steps, packaged for in-scan
+    consumption: returns ``(xs_extra, get_z)`` where ``xs_extra`` joins the
+    scan xs and ``get_z(carry_free_xs_slice)`` yields the step's [F, S]
+    draws.  f32 uses the block-half layout (no word-interleave relayout of
+    the whole panel — spot_sim.draw_normal_halves); f64 words never straddle
+    blocks, so the assembled [T, F, S] panel is free of relayout anyway."""
     f = stream.decay.shape[1]
-    return spot_sim_mod.multi_step_normals(
+    dtype = stream.decay.dtype
+    if jnp.dtype(dtype) == jnp.float64:
+        zs = spot_sim_mod.multi_step_normals(
+            stream.key, t_idx[0], t_idx.shape[0], stream.path_ids, f,
+            antithetic, dtype,
+        )
+        return zs, lambda z_slice, t: z_slice
+    z1, z2, b0 = spot_sim_mod.draw_normal_halves(
         stream.key, t_idx[0], t_idx.shape[0], stream.path_ids, f, antithetic,
-        stream.decay.dtype,
+        dtype,
+    )
+    return t_idx, lambda t_slice, t: spot_sim_mod.step_z_from_halves(
+        z1, z2, b0, t, f
     )
 
 
@@ -500,13 +513,14 @@ def _stream_warmup(stream: StreamedSims, n: int, seg_len: int, antithetic: bool)
 
     def chain(x, xs):
         t_idx, d_seg, c_seg = xs
-        z_seg = _stream_draw_block(stream, t_idx, antithetic)
+        z_xs, get_z = _stream_scan_draws(stream, t_idx, antithetic)
 
         def body(xc, one):
-            z, d_k, c_k = one
+            z_or_t, t, d_k, c_k = one
+            z = get_z(z_or_t, t)
             return spot_sim_mod.ou_step(xc, z, d_k, c_k), None
 
-        x_out, _ = jax.lax.scan(body, x, (z_seg, d_seg, c_seg))
+        x_out, _ = jax.lax.scan(body, x, (z_xs, t_idx, d_seg, c_seg))
         return x_out
 
     steps = (jnp.arange(n), stream.decay[:n], stream.chol[:n])
@@ -532,17 +546,18 @@ def _regen_segment(stream: StreamedSims, entry_state, seg, antithetic: bool,
     previous-step slices the fused kernel consumes.  ``is_first_segment`` is a
     traced bool selecting the t=0 clamp (prev = the step itself)."""
 
-    z_seg = _stream_draw_block(stream, seg["t_idx"], antithetic)
+    z_xs, get_z = _stream_scan_draws(stream, seg["t_idx"], antithetic)
 
     def body(x, one):
-        z, one = one
+        z_or_t, one = one
+        z = get_z(z_or_t, one["t_idx"])
         x_new = spot_sim_mod.ou_step(x, z, one["sim_decay"], one["sim_chol"])
         spot = spot_sim_mod.spot_from_state(
             x_new, one["sim_fwd"], one["sim_hv"], one["sim_vols"]
         )
         return x_new, (spot, x_new)
 
-    _, (spot_seg, fac_seg) = jax.lax.scan(body, entry_state, (z_seg, seg))
+    _, (spot_seg, fac_seg) = jax.lax.scan(body, entry_state, (z_xs, seg))
     if not with_prev:
         return spot_seg, fac_seg, None, None
     entry_fac = entry_state  # already [F, S]

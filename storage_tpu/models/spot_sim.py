@@ -159,6 +159,65 @@ def step_normals(
     return z
 
 
+def draw_normal_halves(
+    key: jax.Array,
+    start_step,  # scalar int: first step of the contiguous range
+    num_steps: int,  # static range length T
+    path_ids: jnp.ndarray,  # [S]
+    num_factors: int,
+    antithetic: bool,
+    dtype,
+):
+    """f32 bulk draws WITHOUT the word-interleave pass: returns
+    (z1, z2) [nb, S] — the normal-transformed first/second words of blocks
+    b0..b0+nb-1 with b0 = (start·F)//2 — plus the traced b0 offset.  The
+    normal transform is per-word, so values are identical to
+    ``multi_step_normals``; consumers assemble each step's [F, S] slice with
+    ``step_z_from_halves`` (4 small row reads instead of relayouting the
+    whole ~GB panel, measured ~10 ms per 262k-path sweep)."""
+    assert jnp.dtype(dtype) != jnp.float64
+    ids = (path_ids // 2 if antithetic else path_ids).astype(jnp.uint32)
+    t, f, s = int(num_steps), num_factors, ids.shape[0]
+    nw = t * f
+    nb = nw // 2 + 1
+    start = jnp.asarray(start_step).astype(jnp.uint32)
+    b0 = (start * jnp.uint32(f)) // jnp.uint32(2)
+    blocks = b0 + jnp.arange(nb, dtype=jnp.uint32)
+    w1, w2 = _hash_counter_pairs(
+        key,
+        jnp.broadcast_to(ids[None, :], (nb, s)),
+        jnp.broadcast_to(blocks[:, None], (nb, s)),
+    )
+    z1 = _bits_to_normal(w1, None, dtype)
+    z2 = _bits_to_normal(w2, None, dtype)
+    if antithetic:
+        sign = jnp.where(path_ids % 2 == 0, 1.0, -1.0).astype(dtype)
+        z1 = z1 * sign[None, :]
+        z2 = z2 * sign[None, :]
+    return z1, z2, b0
+
+
+def step_z_from_halves(z1, z2, b0, step, num_factors: int):
+    """Assemble step ``step``'s [F, S] draws from the block-half normals of
+    ``draw_normal_halves``.  Word W = step·F + i lives at row W//2 − b0, half
+    W%2; with traced ``step`` both parities are handled by a 2-way select
+    over statically-indexed rows."""
+    f = num_factors
+    m = jnp.asarray(step).astype(jnp.uint32) * jnp.uint32(f)
+    r0 = m // jnp.uint32(2) - b0
+    p_odd = (m % jnp.uint32(2)).astype(jnp.bool_)
+    width = f // 2 + 1
+    s1 = jax.lax.dynamic_slice_in_dim(z1, r0.astype(jnp.int32), width, axis=0)
+    s2 = jax.lax.dynamic_slice_in_dim(z2, r0.astype(jnp.int32), width, axis=0)
+
+    def pick(q, i):
+        off, half = (q + i) // 2, (q + i) % 2
+        return (s1 if half == 0 else s2)[off]
+
+    rows = [jnp.where(p_odd, pick(1, i), pick(0, i)) for i in range(f)]
+    return jnp.stack(rows, axis=0)  # [F, S]
+
+
 def multi_step_normals(
     key: jax.Array,
     start_step,  # scalar int: first step of the contiguous range
@@ -249,16 +308,31 @@ def simulate_ou_paths(
     drawing inside the scan would sequentialise the hashing)."""
     p, f = decay.shape
     dtype = decay.dtype
-    zs = multi_step_normals(key, 0, p, path_ids, f, antithetic, dtype)  # [P, F, S]
+    if jnp.dtype(dtype) == jnp.float64:
+        zs = multi_step_normals(key, 0, p, path_ids, f, antithetic, dtype)
 
-    def step(x, inputs):
-        z_k, decay_k, chol_k = inputs
-        x_new = ou_step(x, z_k, decay_k, chol_k)
-        return x_new, x_new
+        def step(x, inputs):
+            z_k, decay_k, chol_k = inputs
+            x_new = ou_step(x, z_k, decay_k, chol_k)
+            return x_new, x_new
+
+        xs_in = (zs, decay, chol)
+    else:
+        # f32: skip the word-interleave relayout — assemble each step's draw
+        # from the block-half normals inside the scan (identical values).
+        z1, z2, b0 = draw_normal_halves(key, 0, p, path_ids, f, antithetic, dtype)
+
+        def step(x, inputs):
+            k, decay_k, chol_k = inputs
+            z_k = step_z_from_halves(z1, z2, b0, k, f)
+            x_new = ou_step(x, z_k, decay_k, chol_k)
+            return x_new, x_new
+
+        xs_in = (jnp.arange(p), decay, chol)
 
     s = path_ids.shape[0]
     x0 = jnp.zeros((f, s), dtype=dtype)
-    _, xs = jax.lax.scan(step, x0, (zs, decay, chol))  # [P, F, S]
+    _, xs = jax.lax.scan(step, x0, xs_in)  # [P, F, S]
     # Spot assembly in ONE fused pass over the whole panel (computing it
     # per-step inside the scan sequentialises ~40 ms of elementwise work at
     # the bench config).  Same contraction order as spot_from_state, so the
