@@ -61,8 +61,11 @@ def _force(out):
     backends jax.block_until_ready returns at dispatch time, so timing must
     read a value back."""
     for leaf in jax.tree.leaves(out):
-        np_leaf = jax.numpy.ravel(leaf)
-        float(np_leaf[0]) if np_leaf.size else None
+        if leaf.size:
+            # Index one element directly: jnp.ravel on a [P, F, S] panel
+            # forces a full device relayout copy (~40 ms at the bench config)
+            # and inflated the round-3 sim-phase numbers (112 vs ~52 ms/set).
+            float(leaf[(0,) * leaf.ndim])
     return out
 
 

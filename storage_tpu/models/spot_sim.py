@@ -29,7 +29,33 @@ except Exception:  # pragma: no cover - jax internals moved; public fallback
     _threefry2x32_p = None
 
 from . import multi_factor as mf
+from ..ops import rng_kernel
 from ..utils import periods as pu
+
+_RNG_PALLAS_ENV = "STORAGE_TPU_RNG_PALLAS"
+
+
+def resolve_rng_pallas(use_pallas: tp.Optional[bool], dtype, num_paths: int) -> bool:
+    """Auto-enable the fused Pallas draw kernel (ops/rng_kernel) on TPU f32
+    workloads whose path count tiles onto lanes; CPU tests / f64 validation /
+    ragged path counts keep the pure-XLA pipeline (bit-identical values)."""
+    import os
+
+    if use_pallas is not None:
+        return bool(use_pallas)
+    env = os.environ.get(_RNG_PALLAS_ENV)
+    if env is not None and env not in ("0", "false", "False"):
+        return (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32
+            and num_paths % 128 == 0
+        )
+    # Default OFF: the kernel is bit-identical and removes the broadcast
+    # counter panels, but measured perf-neutral vs XLA's fused lowering
+    # (30.5 vs 30.2 ms per 262k-path draw sweep; the hash+erfinv compute is
+    # the VPU floor either way — docs/ROOFLINE.md round-4 notes).  Kept as
+    # the iota-counter foundation for future fused-simulation work.
+    return False
 
 
 class SpotSimResults(tp.NamedTuple):
@@ -167,6 +193,8 @@ def draw_normal_halves(
     num_factors: int,
     antithetic: bool,
     dtype,
+    use_pallas: tp.Optional[bool] = None,
+    interpret: bool = False,
 ):
     """f32 bulk draws WITHOUT the word-interleave pass: returns
     (z1, z2) [nb, S] — the normal-transformed first/second words of blocks
@@ -174,7 +202,12 @@ def draw_normal_halves(
     normal transform is per-word, so values are identical to
     ``multi_step_normals``; consumers assemble each step's [F, S] slice with
     ``step_z_from_halves`` (4 small row reads instead of relayouting the
-    whole ~GB panel, measured ~10 ms per 262k-path sweep)."""
+    whole ~GB panel, measured ~10 ms per 262k-path sweep).
+
+    On TPU f32 the draw runs in the fused Pallas kernel (ops/rng_kernel):
+    counters from iota in registers, hash + inverse-normal on-tile, HBM
+    traffic = output bytes only.  Values are bit-identical either way
+    (tests/test_rng_kernel.py)."""
     assert jnp.dtype(dtype) != jnp.float64
     ids = (path_ids // 2 if antithetic else path_ids).astype(jnp.uint32)
     t, f, s = int(num_steps), num_factors, ids.shape[0]
@@ -182,6 +215,20 @@ def draw_normal_halves(
     nb = nw // 2 + 1
     start = jnp.asarray(start_step).astype(jnp.uint32)
     b0 = (start * jnp.uint32(f)) // jnp.uint32(2)
+    if resolve_rng_pallas(use_pallas, dtype, s) or interpret:
+        row_tile, s_tile = rng_kernel.pick_tiles(nb, s)
+        if row_tile > 0:
+            sign = (
+                jnp.where(path_ids % 2 == 0, 1.0, -1.0).astype(dtype)
+                if antithetic
+                else None
+            )
+            z1, z2 = rng_kernel.normal_halves_pallas(
+                jax.random.key_data(key), b0, nb, ids, sign,
+                with_sign=antithetic, row_tile=row_tile, s_tile=s_tile,
+                interpret=interpret,
+            )
+            return z1, z2, b0
     blocks = b0 + jnp.arange(nb, dtype=jnp.uint32)
     w1, w2 = _hash_counter_pairs(
         key,
