@@ -834,6 +834,7 @@ def _forward_bodies(
     s_local: int,
     sim_tile: int,
     dtype,
+    fwd_pred_passes: int = 3,
 ):
     """Shared forward-step closures (fused Pallas / plain XLA) for the
     materialised and streamed scans.  Bodies take ``(carry, x)`` with carry
@@ -849,6 +850,7 @@ def _forward_bodies(
                 x["ratchet_inv"], x["ratchet_min"], x["ratchet_max"],
                 x["spot"], x["factors"], inventory, pv, x["coeffs"],
                 monomials, num_extra_decisions, ratchet_is_step, sim_tile,
+                pred_passes=fwd_pred_passes,
             )
         )
         count = _psum(jnp.asarray(s_local, dtype), axis_name)
@@ -1048,6 +1050,7 @@ def lsmc_forward(
     axis_name: tp.Optional[str],
     return_sim_data: bool,
     use_pallas: bool = False,
+    fwd_pred_passes: int = 3,
 ):
     """Forward simulation over materialised path panels."""
     grids = arrays["grids"]
@@ -1064,6 +1067,7 @@ def lsmc_forward(
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, return_sim_data, s_local, sim_tile, dtype,
+        fwd_pred_passes=fwd_pred_passes,
     )
 
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))

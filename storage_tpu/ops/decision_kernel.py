@@ -91,6 +91,18 @@ def snap_weights(w):
     return jnp.round(w * 256.0) / 256.0
 
 
+def _vpu_pred_gap(dci_d, dm, b_dim: int):
+    """Regressed-continuation gap ``dci[d] @ dm`` as B outer-product FMAs on
+    the VPU (f32, exact): the MXU form pads K = B ≈ 9 to 128 — >90% padding
+    waste — while the VPU evaluates exactly the useful flops and runs
+    concurrently with the hat matmuls on the MXU (kernel v4; measured split
+    in docs/ROOFLINE.md round-4 notes).  ``dci_d`` [G, B], ``dm`` [B, St]."""
+    q = dci_d[:, 0:1] * dm[0:1]
+    for bi in range(1, b_dim):
+        q = q + dci_d[:, bi : bi + 1] * dm[bi : bi + 1]
+    return q
+
+
 def _kernel(v_ref, dm_ref, spot_ref, w_ref, dci_ref, a_ref, b_ref, out_ref,
             *, num_decisions: int, pred_passes: int):
     f32 = jnp.float32
@@ -98,7 +110,8 @@ def _kernel(v_ref, dm_ref, spot_ref, w_ref, dci_ref, a_ref, b_ref, out_ref,
     dm = dm_ref[...]      # [B, St] standardised design matrix (transposed)
     spot = spot_ref[...]  # [1, St]
     v_hi, v_lo = _split_bf16(v)
-    dm_hi, dm_lo = _split_bf16(dm)
+    if pred_passes >= 2:
+        dm_hi, dm_lo = _split_bf16(dm)
 
     def hat(d):
         # Actual continuation: linear interp in inventory as an MXU matmul.
@@ -111,6 +124,7 @@ def _kernel(v_ref, dm_ref, spot_ref, w_ref, dci_ref, a_ref, b_ref, out_ref,
             + jnp.dot(w_bf, v_lo, preferred_element_type=f32)
         )
 
+    b_dim = dm.shape[0]
     # Decision 0 is the comparison baseline: its regressed continuation is
     # subtracted from every decision, so its own comparison value is just the
     # immediate part.  Order (and ties: first decision wins) is unchanged.
@@ -121,18 +135,21 @@ def _kernel(v_ref, dm_ref, spot_ref, w_ref, dci_ref, a_ref, b_ref, out_ref,
         # Regressed continuation GAP vs decision 0 at the (g, d) target
         # inventories.  Drives the decision ARGMAX on a lower-bound estimator:
         # full-magnitude single-pass bf16 biased NPV down ~1.4% (misselected
-        # decisions only ever lose value), but on the centred gap the
-        # split-precision error scales with the gap itself: 2 passes measured
-        # NPV within 0.015 MC standard errors of 3 at the benchmark config
-        # (115,059.6 vs 115,061.1, se 102) — default 2, 3 available.
-        dci_hi, dci_lo = _split_bf16(dci_ref[d])
+        # decisions only ever lose value); the centred gap keeps error scaled
+        # by the gap itself.  pred_passes: 1 (default) = f32 VPU outer-product
+        # accumulation (exact, and frees the MXU for the hat matmuls);
+        # 2/3 = the validated split-precision MXU variants.
         if pred_passes >= 3:
+            dci_hi, dci_lo = _split_bf16(dci_ref[d])
             q = _dot3(dci_hi, dci_lo, dm_hi, dm_lo)  # [G, St]
-        else:
+        elif pred_passes == 2:
+            dci_hi, _ = _split_bf16(dci_ref[d])
             q = (
                 jnp.dot(dci_hi, dm_hi, preferred_element_type=f32)
                 + jnp.dot(dci_hi, dm_lo, preferred_element_type=f32)
             )
+        else:
+            q = _vpu_pred_gap(dci_ref[d], dm, b_dim)
         imm = a_ref[d] * spot + b_ref[d]
         vr = q + imm
         va = hat(d) + imm
@@ -191,7 +208,8 @@ def _kernel_moments(v_ref, spot_ref, fac_ref, spot_prev_ref, fac_prev_ref,
     dm = _build_design_rows(monomials, spot, fac_ref[...])  # [B, St] raw
     dm = (dm - mean_ref[...]) / std_ref[...]                # standardised
     v_hi, v_lo = _split_bf16(v)
-    dm_hi, dm_lo = _split_bf16(dm)
+    if pred_passes >= 2:
+        dm_hi, dm_lo = _split_bf16(dm)
 
     def hat(d):
         w_bf = w_ref[d]  # bf16, exact (snapped weights)
@@ -200,18 +218,22 @@ def _kernel_moments(v_ref, spot_ref, fac_ref, spot_prev_ref, fac_prev_ref,
             + jnp.dot(w_bf, v_lo, preferred_element_type=f32)
         )
 
+    b_dim = dm.shape[0]
     imm0 = a_ref[0] * spot + b_ref[0]
     best_reg = imm0
     best_act = hat(0) + imm0
     for d in range(1, num_decisions):
-        dci_hi, dci_lo = _split_bf16(dci_ref[d])
         if pred_passes >= 3:
+            dci_hi, dci_lo = _split_bf16(dci_ref[d])
             q = _dot3(dci_hi, dci_lo, dm_hi, dm_lo)
-        else:
+        elif pred_passes == 2:
+            dci_hi, _ = _split_bf16(dci_ref[d])
             q = (
                 jnp.dot(dci_hi, dm_hi, preferred_element_type=f32)
                 + jnp.dot(dci_hi, dm_lo, preferred_element_type=f32)
             )
+        else:
+            q = _vpu_pred_gap(dci_ref[d], dm, b_dim)
         imm = a_ref[d] * spot + b_ref[d]
         vr = q + imm
         va = hat(d) + imm
@@ -230,22 +252,20 @@ def _kernel_moments(v_ref, spot_ref, fac_ref, spot_prev_ref, fac_prev_ref,
     # affine composition back to x-coordinates).
     dmp = _build_design_rows(monomials, spot_prev_ref[...], fac_prev_ref[...])
     dmp = (dmp - mean_ref[...]) / std_ref[...]
-    b_dim = dmp.shape[0]
     # XᵀX on the VPU: an MXU dot would pad both 9-dims to 128 (~200x waste).
     cols = []
     for i in range(b_dim):
         cols.append(jnp.sum(dmp[i : i + 1] * dmp, axis=1, keepdims=True))  # [B, 1]
     xtx_partial = jnp.concatenate(cols, axis=1)  # [B, B]
-    # (Xᵀv)ᵀ on the MXU: [G, St] x [B, St] contracted over sims, split
-    # precision (3 passes ~ f32, dropping only the lo x lo term).
-    dmp_hi, dmp_lo = _split_bf16(dmp)
-    ba_hi, ba_lo = _split_bf16(best_act)
-    dn = (((1,), (1,)), ((), ()))
-    xty_t_partial = (
-        jax.lax.dot_general(ba_hi, dmp_hi, dn, preferred_element_type=f32)
-        + jax.lax.dot_general(ba_hi, dmp_lo, dn, preferred_element_type=f32)
-        + jax.lax.dot_general(ba_lo, dmp_hi, dn, preferred_element_type=f32)
-    )  # [G, B]
+    # (Xᵀv)ᵀ likewise: N = B ≈ 9 pads to 128 on the MXU, so B per-basis
+    # multiply + lane-reduction passes on the VPU (f32, more accurate than
+    # the split-precision dot it replaces) cost only the useful flops.
+    xty_cols = []
+    for i in range(b_dim):
+        xty_cols.append(
+            jnp.sum(best_act * dmp[i : i + 1], axis=1, keepdims=True)  # [G, 1]
+        )
+    xty_t_partial = jnp.concatenate(xty_cols, axis=1)  # [G, B]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():

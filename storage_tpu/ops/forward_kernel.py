@@ -182,6 +182,7 @@ def _forward_kernel(
     num_extra_decisions: int,
     num_ratchet_nodes: int,
     ratchet_is_step: bool,
+    pred_passes: int = 3,
 ):
     spot = spot_ref[...]            # [1, St]
     inventory = inv_ref[...]
@@ -195,10 +196,25 @@ def _forward_kernel(
     dm = jnp.concatenate(dm_std, axis=0)  # [B, St]
 
     # Fitted continuation values at every next-period grid point:
-    # pred [G, St] = coeffs_t [G, B] @ dm [B, St], split-precision MXU.
-    ct_hi, ct_lo = _split_bf16(coeffs_t_ref[...])
-    dm_hi, dm_lo = _split_bf16(dm)
-    pred = _dot3(ct_hi, ct_lo, dm_hi, dm_lo)  # [G, St]
+    # pred [G, St] = coeffs_t [G, B] @ dm [B, St].  pred_passes: 3 =
+    # split-precision MXU (~f32); 2 = drop the ct_lo pass (argmax-only
+    # precision — forward mispicks do not compound, unlike backward);
+    # 1 = f32 VPU outer-product accumulation (exact, no K=B→128 MXU padding).
+    ct = coeffs_t_ref[...]
+    if pred_passes >= 2:
+        ct_hi, ct_lo = _split_bf16(ct)
+        dm_hi, dm_lo = _split_bf16(dm)
+        if pred_passes >= 3:
+            pred = _dot3(ct_hi, ct_lo, dm_hi, dm_lo)  # [G, St]
+        else:
+            pred = (
+                jnp.dot(ct_hi, dm_hi, preferred_element_type=f32)
+                + jnp.dot(ct_hi, dm_lo, preferred_element_type=f32)
+            )
+    else:
+        pred = ct[:, 0:1] * dm[0:1]
+        for bi in range(1, b_dim):
+            pred = pred + ct[:, bi : bi + 1] * dm[bi : bi + 1]
     g = pred.shape[0]
 
     loss_pcnt = params_ref[_P_LOSS_PCNT]
@@ -294,7 +310,7 @@ def _forward_kernel(
     jax.jit,
     static_argnames=(
         "monomials", "num_extra_decisions", "ratchet_is_step", "sim_tile",
-        "interpret",
+        "interpret", "pred_passes",
     ),
 )
 def forward_step_pallas(
@@ -314,6 +330,7 @@ def forward_step_pallas(
     ratchet_is_step: bool,
     sim_tile: int,
     interpret: bool = False,
+    pred_passes: int = 3,
 ):
     """One fused forward step.  Returns (new_inventory [S], new_pv [S],
     opt_decision [S], opt_consumed [S], sums [NUM_SUMS], xbar_sum [B])."""
@@ -330,6 +347,7 @@ def forward_step_pallas(
         num_extra_decisions=num_extra_decisions,
         num_ratchet_nodes=r,
         ratchet_is_step=ratchet_is_step,
+        pred_passes=pred_passes,
     )
     smem = lambda shape: pl.BlockSpec(memory_space=pltpu.SMEM)
     tile = lambda rows: pl.BlockSpec(
