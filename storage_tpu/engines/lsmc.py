@@ -1716,3 +1716,210 @@ def lsmc_core_streamed_chunked(
         result["regression_std"] = regression["std"]
         result["regression_coeffs"] = regression["coeffs"]
     return result
+
+
+# ------------------------------ host-chunked execution, materialised panels
+#
+# VERDICT r03 item 4: the segment drivers above only covered streamed
+# (internally simulated) runs, so a ``value_from_sims`` call — or any
+# materialised valuation — with a progress callback got ~5 phase-boundary
+# polls and was uncancellable mid-pass (the reference polls every period on
+# every path, LsmcStorageValuation.cs:343-345,521).  These wrappers run the
+# SAME scan bodies over host-sliced panel segments: results are identical to
+# ``lsmc_core`` (same per-step arithmetic; scan partitioning does not change
+# it — pinned by tests/test_progress_cancellation.py).
+
+
+@partial(
+    jax.jit,
+    static_argnames=("monomials", "terminal_fn", "axis_name", "fused"),
+)
+def _backward_init_mat_jit(
+    arrays, spot_last, factors_last, spot_end,
+    *, monomials, terminal_fn, axis_name, fused,
+):
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    dtype = grids.dtype
+    v_end = _terminal_values(
+        terminal_fn, spot_end, grids[n], grids.shape[1], spot_end.shape[0], dtype
+    )
+    if not fused:
+        return v_end
+    xtx0, xty0, mean0, std0 = _fused_bootstrap(
+        monomials, spot_last, factors_last, v_end, axis_name, dtype
+    )
+    return (v_end, xtx0, xty0, mean0, std0)
+
+
+@partial(jax.jit, static_argnames=_BWD_SEG_STATICS)
+def _backward_segment_chunk_mat_jit(
+    carry, seg,
+    *, monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
+    snap_interp, pred_passes, antithetic, fused,
+):
+    del antithetic  # materialised panels carry no RNG identity
+    fused_body, plain_body = _backward_bodies(
+        monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
+        snap_interp, pred_passes,
+    )
+    return jax.lax.scan(
+        fused_body if fused else plain_body, carry, seg, reverse=True
+    )
+
+
+@partial(jax.jit, static_argnames=_FWD_SEG_STATICS + ("return_sim_data",))
+def _forward_segment_chunk_mat_jit(
+    carry, seg,
+    *, monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
+    axis_name, antithetic, fused, return_sim_data,
+):
+    del antithetic
+    s_local = carry[0].shape[0]
+    dtype = carry[0].dtype
+    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    fused_body, plain_body = _forward_bodies(
+        monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
+        axis_name, return_sim_data, s_local, sim_tile, dtype,
+    )
+    return jax.lax.scan(fused_body if fused else plain_body, carry, seg)
+
+
+def lsmc_core_chunked(
+    arrays: tp.Dict[str, jnp.ndarray],
+    spot_reg: jnp.ndarray,    # [N+1, S]
+    factors_reg: jnp.ndarray, # [N+1, F, S]
+    spot_val: jnp.ndarray,
+    factors_val: jnp.ndarray,
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    use_pallas: bool = False,
+    snap_interp: tp.Optional[bool] = None,
+    pred_passes: int = 2,
+    seg_len: int = 16,
+    return_sim_data: bool = False,
+    return_regression: bool = False,
+    segment_cb: tp.Optional[tp.Callable[[str, int, int], None]] = None,
+) -> tp.Dict[str, jnp.ndarray]:
+    """``lsmc_core`` with host-driven segments over materialised panels
+    (internally simulated with per-sim data requested, or user-supplied sims
+    via ``value_from_sims``): ``segment_cb(phase, done, total)`` fires after
+    every ``seg_len``-step segment of both passes, and raising from the
+    callback aborts between segments.  Single-process, non-collective
+    execution (``axis_name=None``)."""
+    if snap_interp is None:
+        snap_interp = use_pallas
+    grids = arrays["grids"]
+    n = grids.shape[0] - 1
+    seg_len = max(1, min(seg_len, n))
+    m, r = n // seg_len, n % seg_len
+    total = m + (1 if r else 0)
+    dtype = grids.dtype
+    s_local = spot_reg.shape[1]
+    fused = use_pallas and factors_reg.shape[1] > 0
+
+    def tick(phase, done):
+        if segment_cb is not None:
+            segment_cb(phase, done, total)
+
+    statics = dict(
+        monomials=monomials, num_extra_decisions=num_extra_decisions,
+        ratchet_is_step=ratchet_is_step, axis_name=None, use_pallas=use_pallas,
+        snap_interp=snap_interp, pred_passes=pred_passes, antithetic=False,
+        fused=fused,
+    )
+    carry = _backward_init_mat_jit(
+        arrays, spot_reg[n - 1], factors_reg[n - 1], spot_reg[n],
+        monomials=monomials, terminal_fn=terminal_fn, axis_name=None,
+        fused=fused,
+    )
+    per_step = _backward_per_step(arrays)
+    per_step.update(_backward_prep_all(
+        per_step, num_extra_decisions, ratchet_is_step, snap_interp,
+        with_w_mat=use_pallas,
+    ))
+    per_step["spot"] = spot_reg[:n]
+    per_step["factors"] = factors_reg[:n]
+
+    def bwd_segment(lo, hi):
+        seg = jax.tree.map(lambda a: a[lo:hi], per_step)
+        if fused:
+            # Previous-step slices for the in-kernel moment accumulation
+            # (t = 0 clamps to itself, as in lsmc_backward).
+            if lo > 0:
+                seg["spot_prev"] = spot_reg[lo - 1 : hi - 1]
+                seg["factors_prev"] = factors_reg[lo - 1 : hi - 1]
+            else:
+                seg["spot_prev"] = jnp.concatenate(
+                    [spot_reg[0:1], spot_reg[: hi - 1]], axis=0
+                )
+                seg["factors_prev"] = jnp.concatenate(
+                    [factors_reg[0:1], factors_reg[: hi - 1]], axis=0
+                )
+        return seg
+
+    reg_chunks: tp.List[tp.Any] = [None] * total
+    done = 0
+    if r > 0:
+        carry, reg_chunks[total - 1] = _backward_segment_chunk_mat_jit(
+            carry, bwd_segment(m * seg_len, n), **statics
+        )
+        done += 1
+        tick("backward", done)
+    for i in reversed(range(m)):
+        carry, reg_chunks[i] = _backward_segment_chunk_mat_jit(
+            carry, bwd_segment(i * seg_len, (i + 1) * seg_len), **statics
+        )
+        done += 1
+        tick("backward", done)
+    regression = jax.tree.map(
+        lambda *chunks: jnp.concatenate(chunks, axis=0), *reg_chunks
+    )
+    v0 = carry[0] if fused else carry
+
+    fwd_fused = _resolve_forward_fused(
+        use_pallas, return_sim_data, dtype, decision_kernel.pick_sim_tile(s_local)
+    )
+    fper = _forward_per_step(arrays, regression, fwd_fused)
+    fper["spot"] = spot_val[:n]
+    fper["factors"] = factors_val[:n]
+    fstatics = dict(
+        monomials=monomials, num_extra_decisions=num_extra_decisions,
+        discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
+        axis_name=None, antithetic=False, fused=fwd_fused,
+        return_sim_data=return_sim_data,
+    )
+    inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
+    fcarry = (inv0, jnp.zeros((s_local,), dtype))
+    out_chunks = []
+    done = 0
+    for i in range(m):
+        seg = jax.tree.map(lambda a: a[i * seg_len : (i + 1) * seg_len], fper)
+        fcarry, outs = _forward_segment_chunk_mat_jit(fcarry, seg, **fstatics)
+        out_chunks.append(outs)
+        done += 1
+        tick("forward", done)
+    if r > 0:
+        seg = jax.tree.map(lambda a: a[m * seg_len :], fper)
+        fcarry, outs = _forward_segment_chunk_mat_jit(fcarry, seg, **fstatics)
+        out_chunks.append(outs)
+        done += 1
+        tick("forward", done)
+    outputs = jax.tree.map(
+        lambda *chunks: jnp.concatenate(chunks, axis=0), *out_chunks
+    )
+    final_inventory, pv_by_sim = fcarry
+    result = _forward_finalise(
+        outputs, final_inventory, pv_by_sim, spot_val[n], terminal_fn,
+        None, return_sim_data, s_local, dtype,
+    )
+    result["backward_npv"] = _global_mean_over_sims(v0[0], None)
+    if return_regression:
+        result["regression_mean"] = regression["mean"]
+        result["regression_std"] = regression["std"]
+        result["regression_coeffs"] = regression["coeffs"]
+    return result
