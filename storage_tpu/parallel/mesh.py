@@ -480,9 +480,23 @@ def sharded_ad_deltas(
         raise ValueError(
             f"num_sims ({num_sims}) must be a multiple of the mesh size ({n_dev})."
         )
+    inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
+    if len({d.process_index for d in mesh.devices.flat}) > 1:
+        # Multi-process global mesh (VERDICT r03 item 5): inputs are
+        # host-replicated by construction; lift them to global arrays so the
+        # shard_map spans processes.  Path identity comes from axis_index, so
+        # every process differentiates exactly its own global path block and
+        # the explicit pmean replicates the gradient.
+        from . import distributed as dist
+
+        arrays, sim_inputs, inv0 = dist.replicate_to_global(
+            (arrays, sim_inputs, inv0), mesh
+        )
+        reg_key = dist.replicate_key(reg_key, mesh)
+        val_key = dist.replicate_key(val_key, mesh)
     return _sharded_ad_deltas_jit(
         arrays, sim_inputs, reg_key, val_key,
-        jnp.asarray(starting_inventory, arrays["grids"].dtype),
+        inv0,
         mesh=mesh, s_local=num_sims // n_dev, monomials=monomials,
         num_extra_decisions=num_extra_decisions,
         discount_deltas=discount_deltas, terminal_fn=terminal_fn,

@@ -106,6 +106,23 @@ def main():
         flush=True,
     )
 
+    # Round 4: multi-process ADJOINT deltas (VERDICT r03 item 5) — the
+    # collective-free per-shard reverse sweep + explicit pmean on the global
+    # mesh.  Same call as RESULT2 but deltas_method='adjoint'; NPV identical
+    # (same sims, same policy), deltas must equal the pathwise series.
+    res3 = multi_factor_value(
+        storage, val_date, 500.0, fwd, 0.03, None,
+        [(5.0, pd.Series(0.6, index=fwd.index))], None, 64, "1 + s + x0",
+        False, seed=7, fwd_sim_seed=9, num_inventory_grid_points=30,
+        dtype=jnp.float64, deltas_method="adjoint",
+    )
+    print(
+        f"RESULT3 proc={proc_id} npv={res3.npv!r} "
+        f"delta_sum={res3.deltas.sum()!r} "
+        f"delta_vs_pathwise={(res3.deltas - res2.deltas).abs().max()!r}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -113,6 +113,24 @@ def test_two_process_host_local_sims_match_single_process():
         expected2.deltas.sum(), rel=1e-6
     )
 
+    # Multi-process adjoint deltas (round 4): identical across processes,
+    # NPV unchanged vs the pathwise run, and the AD delta series equals the
+    # hand-derived pathwise series (the envelope-theorem identity
+    # tests/test_ad_deltas_api.py pins single-process).
+    results3 = []
+    for out in outputs:
+        lines3 = [l for l in out.splitlines() if l.startswith("RESULT3 ")]
+        assert lines3, f"no RESULT3 line in worker output:\n{out}"
+        results3.append(_parse(lines3[0]))
+    for key in ("npv", "delta_sum"):
+        assert results3[0][key] == results3[1][key], key
+    assert results3[0]["npv"] == pytest.approx(results2[0]["npv"], rel=1e-10)
+    scale = max(1.0, abs(results2[0]["delta_sum"]))
+    assert results3[0]["delta_sum"] == pytest.approx(
+        results2[0]["delta_sum"], rel=1e-6
+    )
+    assert results3[0]["delta_vs_pathwise"] < 1e-6 * scale
+
 
 class TestDistributedHelpers:
     def test_single_process_passthrough(self):
