@@ -292,10 +292,25 @@ class PolynomialInjectWithdrawConstraint(BaseConstraint):
 
     The inverse problems are solved with numpy polynomial root finding instead
     of robust Newton-Raphson; for device lookup the polynomial is sampled onto
-    a dense piecewise-linear table.
+    a piecewise-linear table whose density is chosen ADAPTIVELY: enough points
+    that the linear-interpolation error is below float32 resolution of the
+    rate scale (making the table the exact polynomial to device precision —
+    the kernels run f32) whenever that fits the 129-node budget the fused
+    kernels unroll over, else the tightest 129-node table.  The realised
+    error bound is computable via ``table_error_bound`` (measured-vs-bound
+    pinned in tests/test_polynomial_ratchets.py); ``num_table_points``
+    overrides the adaptive choice when set (larger tables are fine on the
+    XLA paths).
     """
 
-    def __init__(self, nodes: tp.Iterable[tp.Tuple[float, float, float]], num_table_points: int = 129):
+    # f32-exactness target for the lerp error, relative to the rate scale.
+    _REL_TOL = 2.0**-24
+    # The fused Pallas forward kernel evaluates ratchet tables as a static
+    # select chain over SMEM nodes — keep the adaptive choice within the
+    # width that is known to compile and run well.
+    _MAX_TABLE_POINTS = 129
+
+    def __init__(self, nodes: tp.Iterable[tp.Tuple[float, float, float]], num_table_points: tp.Optional[int] = None):
         sorted_nodes = sorted((RatchetNode(*n) for n in nodes), key=lambda n: n.inventory)
         if len(sorted_nodes) < 2:
             raise ValueError(
@@ -350,8 +365,55 @@ class PolynomialInjectWithdrawConstraint(BaseConstraint):
         target_poly = ident + self._max_poly - next_lower
         return self._solve(target_poly, min_inventory, max_inventory, pick_max=False)
 
+    def _adaptive_points(self, lo: float, hi: float) -> int:
+        """Sample count making the piecewise-linear error ≤ _REL_TOL of the
+        rate scale: for segment width h the lerp error of a C² function is
+        bounded by max|p''|·h²/8, so h ≤ √(8·tol/max|p''|)."""
+        span = float(hi - lo)
+        if span <= 0:
+            return 2
+        probe = np.linspace(lo, hi, 257)
+        scale = max(
+            1.0,
+            float(np.max(np.abs(self._min_poly(probe)))),
+            float(np.max(np.abs(self._max_poly(probe)))),
+        )
+        curv = max(
+            float(np.max(np.abs(self._min_poly.deriv(2)(probe)))),
+            float(np.max(np.abs(self._max_poly.deriv(2)(probe)))),
+        )
+        tol = self._REL_TOL * scale
+        if curv <= 0:
+            return 2  # affine: two nodes are exact
+        h = np.sqrt(8.0 * tol / curv)
+        n = int(np.ceil(span / h)) + 1
+        return int(np.clip(n, 2, self._MAX_TABLE_POINTS))
+
+    def table_error_bound(self, min_inventory, max_inventory) -> float:
+        """Bound on |table lerp − exact polynomial| over the sampled range
+        (asserted against measured error in tests/test_polynomial_ratchets.py)."""
+        n = self._table_points(min_inventory, max_inventory)
+        span = float(max_inventory - min_inventory)
+        if span <= 0 or n < 2:
+            return 0.0
+        h = span / (n - 1)
+        probe = np.linspace(min_inventory, max_inventory, 257)
+        curv = max(
+            float(np.max(np.abs(self._min_poly.deriv(2)(probe)))),
+            float(np.max(np.abs(self._max_poly.deriv(2)(probe)))),
+        )
+        return curv * h * h / 8.0
+
+    def _table_points(self, lo, hi) -> int:
+        if self._num_table_points is not None:
+            return int(self._num_table_points)
+        return self._adaptive_points(float(lo), float(hi))
+
     def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
-        inv = np.linspace(min_inventory, max_inventory, self._num_table_points)
+        inv = np.linspace(
+            min_inventory, max_inventory,
+            self._table_points(min_inventory, max_inventory),
+        )
         return (
             inv,
             self._min_poly(inv).astype(np.float64),
