@@ -102,8 +102,133 @@ def run_sweep(num_sims_per_chip=None, num_steps=None, num_grid=None,
     }
 
 
+def _worker_main(argv):
+    """Multi-process sweep worker: one jax.distributed process of a
+    ``--multiprocess`` run.  Prints one ROW json line from process 0."""
+    proc_id, nprocs, port, ndev = (int(a) for a in argv[:4])
+    num_sims_per_chip = int(argv[4])
+    num_steps, num_grid, repeats = int(argv[5]), int(argv[6]), int(argv[7])
+
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # CPU harness; on a real pod
+    # slice jax.distributed discovers TPUs and this forcing is removed by the
+    # launcher environment.
+    from storage_tpu.parallel import distributed as dist
+
+    dist.initialize(f"localhost:{port}", num_processes=nprocs, process_id=proc_id)
+
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_case
+    from storage_tpu.parallel import mesh as pmesh
+
+    total_dev = nprocs * ndev
+    num_sims = num_sims_per_chip * total_dev
+    dtype = jnp.float32
+    inputs, arrays, sim_inputs, monomials = _build_case(
+        num_steps=num_steps, num_grid=num_grid, num_sims=num_sims, dtype=dtype
+    )
+    mesh = dist.global_mesh()
+
+    def run():
+        result = pmesh.sharded_lsmc_core(
+            mesh, arrays, sim_inputs, jax.random.key(11), jax.random.key(13),
+            num_sims, inputs.starting_inventory, monomials,
+            num_extra_decisions=0, discount_deltas=False,
+            terminal_fn=inputs.compiled.terminal_value,
+            ratchet_is_step=False,
+        )
+        return float(result["npv"])  # replicated; forces completion
+
+    npv = run()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    throughput = num_sims * num_steps / best
+    if proc_id == 0:
+        print("ROW " + json.dumps({
+            "processes": nprocs,
+            "devices": total_dev,
+            "paths": num_sims,
+            "wall_s": round(best, 4),
+            "paths_steps_per_s": round(throughput, 1),
+            "per_chip": round(throughput / total_dev, 1),
+            "npv": round(npv, 2),
+        }), flush=True)
+
+
+def run_multiprocess_sweep(proc_counts=(1, 2), ndev=4, num_sims_per_chip=None,
+                           num_steps=None, num_grid=None, repeats=None):
+    """Drive the weak-scaling sweep across OS-process counts (VERDICT r03
+    item 7): each row is a fresh ``jax.distributed`` job of ``nprocs``
+    processes x ``ndev`` devices at fixed per-device load, so the efficiency
+    column measures real cross-process collectives (gloo on the CPU harness;
+    the same code path rides ICI/DCN on a pod slice)."""
+    import socket
+    import subprocess
+
+    num_sims_per_chip = num_sims_per_chip or int(
+        os.environ.get("BENCH_NUM_SIMS_PER_CHIP", 8192)
+    )
+    num_steps = num_steps or int(os.environ.get("BENCH_NUM_STEPS", 60))
+    num_grid = num_grid or int(os.environ.get("BENCH_NUM_GRID", 40))
+    repeats = repeats or int(os.environ.get("BENCH_REPEATS", 3))
+
+    rows = []
+    for nprocs in proc_counts:
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(i), str(nprocs), str(port), str(ndev),
+                 str(num_sims_per_chip), str(num_steps), str(num_grid),
+                 str(repeats)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for i in range(nprocs)
+        ]
+        row = None
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            if p.returncode != 0:
+                raise RuntimeError(f"scaling worker failed:\n{out}")
+            for line in out.splitlines():
+                if line.startswith("ROW "):
+                    row = json.loads(line[4:])
+        if row is None:
+            raise RuntimeError("no ROW line from process 0")
+        rows.append(row)
+    base = rows[0]["per_chip"]
+    for r in rows:
+        r["efficiency"] = round(r["per_chip"] / base, 4)
+    return {
+        "metric": "scaling_sweep_multiprocess",
+        "config": {
+            "sims_per_chip": num_sims_per_chip,
+            "steps": num_steps,
+            "grid": num_grid,
+            "devices_per_process": ndev,
+            "backend": "cpu-harness",
+        },
+        "rows": rows,
+    }
+
+
 def main():
-    result = run_sweep()
+    if "--worker" in sys.argv:
+        _worker_main(sys.argv[sys.argv.index("--worker") + 1:])
+        return
+    if "--multiprocess" in sys.argv:
+        result = run_multiprocess_sweep()
+    else:
+        result = run_sweep()
     print(json.dumps(result))
     out_path = os.environ.get("BENCH_SCALING_OUT")
     if out_path:
@@ -111,7 +236,7 @@ def main():
             json.dump(result, f, indent=2)
     worst = min(r["efficiency"] for r in result["rows"])
     print(
-        f"# {len(result['rows'])} mesh size(s); worst efficiency {worst:.1%} "
+        f"# {len(result['rows'])} row(s); worst efficiency {worst:.1%} "
         f"(target >=80% at multi-host)",
         file=sys.stderr,
     )
