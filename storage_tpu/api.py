@@ -62,6 +62,7 @@ def intrinsic_value(
     dtype=jnp.float32,
     interpolation: str = "linear",
     grid_scheme: str = "linspace",
+    grid_calc=None,
 ) -> IntrinsicValuationResults:
     """Intrinsic valuation (reference ``intrinsic.py:42-111``).
 
@@ -72,6 +73,9 @@ def intrinsic_value(
     ``grid_scheme``: 'linspace' (default) or 'fixed_spacing' (the reference's
     grid layout; makes per-period intrinsic decisions exactly comparable to
     the reference's profiles).
+    ``grid_calc``: user callable ``(lower, upper) -> grid points`` applied per
+    period — the reference's open ``IDoubleStateSpaceGridCalc`` extension
+    point (IDoubleStateSpaceGridCalc.cs:32); overrides ``grid_scheme``.
     """
     del numerical_tolerance  # no-op; see tests/test_numerical_tolerance.py
     storage = cmdty_storage
@@ -107,6 +111,7 @@ def intrinsic_value(
         dtype=dtype,
         interpolation=interpolation,
         grid_scheme=grid_scheme,
+        grid_calc=grid_calc,
     )
     profile = profile_data_frame(
         inputs.periods,
@@ -132,9 +137,18 @@ def trinomial_value(
     num_inventory_grid_points: int = DEFAULT_NUM_GRID_POINTS,
     numerical_tolerance: float = 1e-12,
     dtype=jnp.float32,
+    interpolation: str = "linear",
+    grid_calc=None,
 ) -> float:
     """One-factor trinomial-tree storage valuation (reference
-    ``trinomial.py:36-85``).  Returns the NPV."""
+    ``trinomial.py:36-85``).  Returns the NPV.
+
+    ``interpolation``: 'linear' (default) or 'cubic' — continuation-value
+    interpolation in inventory, the reference's interpolator-factory choice
+    (``IInterpolatorFactory``, InterpolatorFactories/IInterpolatorFactory.cs:33;
+    cubic is documented there as occasionally poorly behaved).
+    ``grid_calc``: user callable ``(lower, upper) -> grid points`` per period
+    (``IDoubleStateSpaceGridCalc.GetGridPoints`` analog)."""
     del numerical_tolerance  # no-op; see tests/test_numerical_tolerance.py
     from .engines import tree as tree_engine
     from .models import trinomial_tree as tt
@@ -193,6 +207,8 @@ def trinomial_value(
         inputs.inventory_upper,
         num_grid_points=num_inventory_grid_points,
         dtype=dtype,
+        interpolation=interpolation,
+        grid_calc=grid_calc,
     )
     return float(result.npv)
 

@@ -74,9 +74,11 @@ def three_factor_seasonal_value(
     sim_data_returned: SimulationDataReturned = SimulationDataReturned.NONE,
     dtype=jnp.float32,
     antithetic: bool = False,
+    cancellation_poll: tp.Optional[tp.Callable[[], bool]] = None,
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
     pred_passes: int = 2,
+    grid_calc=None,
 ) -> MultiFactorValuationResults:
     """3-factor seasonal LSMC valuation (reference ``multi_factor.py:99-135``).
 
@@ -99,9 +101,11 @@ def three_factor_seasonal_value(
         numerical_tolerance=numerical_tolerance,
         on_progress_update=on_progress_update,
         sim_data_returned=sim_data_returned, dtype=dtype, antithetic=antithetic,
+        cancellation_poll=cancellation_poll,
         deltas_method=deltas_method,
         checkpoint_path=checkpoint_path,
         pred_passes=pred_passes,
+        grid_calc=grid_calc,
     )
 
 
@@ -130,6 +134,7 @@ def multi_factor_value(
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
     pred_passes: int = 2,
+    grid_calc=None,
 ) -> MultiFactorValuationResults:
     """General multi-factor LSMC valuation (reference ``multi_factor.py:138-168``).
 
@@ -206,6 +211,7 @@ def multi_factor_value(
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
         checkpoint_path=checkpoint_path, pred_passes=pred_passes,
         stream_provider=stream_provider, antithetic=antithetic,
+        grid_calc=grid_calc,
     )
 
 
@@ -232,6 +238,7 @@ def value_from_sims(
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
     pred_passes: int = 2,
+    grid_calc=None,
 ) -> MultiFactorValuationResults:
     """Valuation from user-supplied spot/factor simulations (reference
     ``multi_factor.py:171-208`` / ``SpotSimResultsFromPanels.cs:36-117``).
@@ -256,6 +263,7 @@ def value_from_sims(
         on_progress_update, sim_data_returned, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
         checkpoint_path=checkpoint_path, pred_passes=pred_passes,
+        grid_calc=grid_calc,
     )
 
 
@@ -320,18 +328,23 @@ def value_from_sims_host_local(
 
 
 def _frames_to_sims(spot_frame, factor_frames, inputs: ValuationInputs, label, dtype):
+    """User panels stay HOST-side numpy (at the target dtype): small panels
+    transfer wholesale at the next jit boundary as before, while panels too
+    large for device HBM are segment-fed by the host-streamed driver
+    (``value_from_sims`` at the 1M-path scale — BASELINE.md milestone 5)."""
     periods = inputs.periods
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     spot = _align_frame(spot_frame, periods, f"sim_spot_{label}")
     factor_frames = list(factor_frames) if factor_frames is not None else []
     factors = [
         _align_frame(f, periods, f"sim_factors_{label}[{i}]")
         for i, f in enumerate(factor_frames)
     ]
-    spot_arr = jnp.asarray(spot, dtype)
+    spot_arr = np.asarray(spot, np_dtype)
     if factors:
-        fac_arr = jnp.asarray(np.stack(factors, axis=1), dtype)  # [P, F, S]
+        fac_arr = np.asarray(np.stack(factors, axis=1), np_dtype)  # [P, F, S]
     else:
-        fac_arr = jnp.zeros((spot_arr.shape[0], 0, spot_arr.shape[1]), dtype)
+        fac_arr = np.zeros((spot_arr.shape[0], 0, spot_arr.shape[1]), np_dtype)
     return spot_arr, fac_arr
 
 
@@ -343,6 +356,37 @@ def _align_frame(frame: pd.DataFrame, periods: pd.PeriodIndex, name: str) -> np.
     if len(missing) > 0:
         raise ValueError(f"{name} does not contain a row for period {missing[0]}.")
     return frame.reindex(periods).to_numpy(dtype=np.float64)
+
+
+def _grids_uniform(grids) -> bool:
+    """True when every period's grid row is evenly spaced (within f32-scale
+    tolerance) — such custom grids keep the fast uniform-interp kernels."""
+    g = np.asarray(grids, dtype=np.float64)
+    if g.shape[1] < 3:
+        return True
+    d = np.diff(g, axis=1)
+    span = g[:, -1] - g[:, 0]
+    tol = 1e-6 * np.maximum(1.0, np.abs(span))[:, None]
+    return bool(np.all(np.abs(d - d[:, :1]) <= tol))
+
+
+def _panel_gb(spot_reg, factors_reg, dtype) -> float:
+    """Total f-dtype bytes of both sim sets' spot+factor panels, in GB."""
+    n, s = spot_reg.shape
+    f = factors_reg.shape[1]
+    return 2 * (1 + f) * n * s * jnp.dtype(dtype).itemsize / 2**30
+
+
+def _host_stream_panels(spot_reg, factors_reg, dtype) -> bool:
+    """True when materialising the sim panels on device would exceed the
+    streaming threshold (parallel.mesh.STREAM_THRESHOLD_BYTES) — the panels
+    then stay host-side numpy and the chunked driver segment-feeds them.
+    Multi-process runs shard panels across hosts instead."""
+    if jax.process_count() > 1:
+        return False
+    from .parallel.mesh import STREAM_THRESHOLD_BYTES
+
+    return _panel_gb(spot_reg, factors_reg, dtype) * 2**30 > STREAM_THRESHOLD_BYTES
 
 
 def _lsmc_calc(
@@ -367,6 +411,7 @@ def _lsmc_calc(
     pred_passes: int = 2,
     stream_provider=None,
     antithetic: bool = False,
+    grid_calc=None,
 ) -> MultiFactorValuationResults:
     # Accepted for API parity; a documented no-op.  The reference uses it to
     # tolerance-snap bang-bang decisions and grid bisection
@@ -458,6 +503,7 @@ def _lsmc_calc(
         stream_provider is not None
         and not wants_sim_data
         and not wants_path_panels
+        and grid_calc is None  # custom grids take the materialised general-interp path
     )
 
     logger.info("Simulating price paths.")
@@ -484,7 +530,7 @@ def _lsmc_calc(
         intrinsic_res = intrinsic_engine.intrinsic_valuation(
             inputs.compiled, inputs.starting_inventory, inputs.fwd, inputs.df_settle,
             inputs.df_flow, inputs.inventory_lower, inputs.inventory_upper,
-            num_grid_points=num_grid_points, dtype=dtype,
+            num_grid_points=num_grid_points, dtype=dtype, grid_calc=grid_calc,
         )
     intrinsic_profile = profile_data_frame(
         inputs.periods, intrinsic_res.inventory, intrinsic_res.inject_withdraw,
@@ -497,7 +543,12 @@ def _lsmc_calc(
     arrays = lsmc_engine.build_engine_arrays(
         inputs.compiled, inputs.fwd, inputs.df_settle, inputs.df_flow,
         inputs.inventory_lower, inputs.inventory_upper, num_grid_points, dtype,
+        grid_calc=grid_calc,
     )
+    # Custom grids whose rows are all evenly spaced keep the fast uniform
+    # (arithmetic-position, Pallas-eligible) interpolation; anything else
+    # takes the general-interp XLA path.
+    uniform_grids = grid_calc is None or _grids_uniform(arrays["grids"])
     terminal_fn = None if inputs.compiled.must_be_empty_at_end else inputs.compiled.terminal_value
     interactive = (
         (on_progress_update is not None or cancellation_poll is not None)
@@ -570,14 +621,35 @@ def _lsmc_calc(
                 return_regression=checkpoint_path is not None,
                 pred_passes=int(pred_passes),
             )
-        elif interactive:
-            # Materialised host-chunked execution (VERDICT r03 item 4): the
-            # same per-16-step progress/cancellation granularity as the
-            # streamed driver, for internally-simulated runs that materialise
-            # panels (per-sim data requested) and for user-supplied sims
-            # (``value_from_sims``).  Reference analog: per-period polling at
-            # LsmcStorageValuation.cs:343-345,521.
+        elif interactive or _host_stream_panels(spot_reg, factors_reg, dtype):
+            # Materialised host-chunked execution (VERDICT r03 items 4 + 8):
+            # per-16-step progress/cancellation granularity (reference
+            # per-period polling, LsmcStorageValuation.cs:343-345,521), and —
+            # when the panels exceed the device-memory threshold — host
+            # SEGMENT FEEDING: user panels stay in host RAM (numpy) and only
+            # seg_len-step slices ever transfer, so a 1M-path
+            # ``value_from_sims`` fits one chip like the internally-simulated
+            # streamed path does (BASELINE.md milestone 5; panel analog
+            # SpotSimResultsFromPanels.cs:36-117).
             num_sims = spot_reg.shape[1]
+            host_stream = _host_stream_panels(spot_reg, factors_reg, dtype)
+            if host_stream:
+                if wants_sim_data or wants_path_panels:
+                    raise ValueError(
+                        "sim_data_returned panels do not fit device memory at "
+                        "this path count; pass SimulationDataReturned.NONE."
+                    )
+                if deltas_method == "adjoint":
+                    raise NotImplementedError(
+                        "deltas_method='adjoint' over host-streamed user "
+                        "panels is not implemented; use the default pathwise "
+                        "deltas."
+                    )
+                logger.info(
+                    "LSMC execution: user panels host-streamed in segments "
+                    "(%.1f GB of panels, %d sims).",
+                    _panel_gb(spot_reg, factors_reg, dtype), num_sims,
+                )
 
             def segment_cb(phase, done, total):
                 frac = done / max(total, 1)
@@ -585,8 +657,7 @@ def _lsmc_calc(
                 progress(min(0.3 + part, 0.9))
 
             result = lsmc_engine.lsmc_core_chunked(
-                arrays, jnp.asarray(spot_reg), jnp.asarray(factors_reg),
-                jnp.asarray(spot_val), jnp.asarray(factors_val),
+                arrays, spot_reg, factors_reg, spot_val, factors_val,
                 inputs.starting_inventory, monomials,
                 int(extra_decisions or 0), bool(discount_deltas), terminal_fn,
                 inputs.compiled.ratchet_is_step,
@@ -596,7 +667,8 @@ def _lsmc_calc(
                 pred_passes=int(pred_passes),
                 return_sim_data=wants_sim_data,
                 return_regression=checkpoint_path is not None,
-                segment_cb=segment_cb,
+                segment_cb=segment_cb if interactive else None,
+                uniform_grids=uniform_grids,
             )
         else:
             result = lsmc_core_from_sims(
@@ -607,6 +679,7 @@ def _lsmc_calc(
                 return_sim_data=wants_sim_data,
                 return_regression=checkpoint_path is not None,
                 pred_passes=int(pred_passes),
+                uniform_grids=uniform_grids,
             )
         result = {k: np.asarray(v) for k, v in result.items() if v is not None}
     if checkpoint_path is not None:
@@ -671,6 +744,11 @@ def _lsmc_calc(
                     antithetic=antithetic, same_sims=same_sims,
                 )
             else:
+                if not uniform_grids:
+                    raise NotImplementedError(
+                        "deltas_method='adjoint' with a non-uniform grid_calc "
+                        "is not implemented; use the default pathwise deltas."
+                    )
                 fwd_dev = arrays["fwd"]
                 _npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
                     arrays,

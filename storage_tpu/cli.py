@@ -172,29 +172,57 @@ def cmd_intrinsic(args) -> int:
     return 0
 
 
+def _sigint_poll():
+    """Cooperative Ctrl-C: SIGINT sets a flag that the valuation's
+    cancellation poll observes between host-chunked segments, so a long LSMC
+    run aborts cleanly (JobCancelledError) instead of dying mid-dispatch
+    with a KeyboardInterrupt."""
+    import signal
+
+    flag = {"cancelled": False}
+    previous = signal.getsignal(signal.SIGINT)
+
+    def handler(signum, frame):
+        flag["cancelled"] = True
+
+    signal.signal(signal.SIGINT, handler)
+    return (lambda: flag["cancelled"]), previous
+
+
 def cmd_three_factor(args) -> int:
+    import signal
+
     from .api_lsmc import three_factor_seasonal_value
+    from .jobs import JobCancelledError
 
     storage = _build_storage(_load_json(args.facility))
     market = _market_args(_load_json(args.market), storage)
     model = _load_json(args.model)
-    res = three_factor_seasonal_value(
-        storage, market["val_date"], market["inventory"], market["fwd_curve"],
-        market["interest_rates"], market["settlement_rule"],
-        spot_mean_reversion=model["spot_mean_reversion"],
-        spot_vol=model["spot_vol"],
-        long_term_vol=model["long_term_vol"],
-        seasonal_vol=model["seasonal_vol"],
-        num_sims=int(model.get("num_sims", 4096)),
-        basis_funcs=model.get(
-            "basis_funcs", "1 + s + s*s + x_st + x_lt + x_sw"
-        ),
-        discount_deltas=bool(model.get("discount_deltas", False)),
-        seed=model.get("seed"),
-        num_inventory_grid_points=args.grid_points,
-        on_progress_update=None if args.quiet else _progress_printer("valuing"),
-        deltas_method=model.get("deltas_method", "pathwise"),
-    )
+    poll, previous_handler = _sigint_poll()
+    try:
+        res = three_factor_seasonal_value(
+            storage, market["val_date"], market["inventory"], market["fwd_curve"],
+            market["interest_rates"], market["settlement_rule"],
+            spot_mean_reversion=model["spot_mean_reversion"],
+            spot_vol=model["spot_vol"],
+            long_term_vol=model["long_term_vol"],
+            seasonal_vol=model["seasonal_vol"],
+            num_sims=int(model.get("num_sims", 4096)),
+            basis_funcs=model.get(
+                "basis_funcs", "1 + s + s*s + x_st + x_lt + x_sw"
+            ),
+            discount_deltas=bool(model.get("discount_deltas", False)),
+            seed=model.get("seed"),
+            num_inventory_grid_points=args.grid_points,
+            on_progress_update=None if args.quiet else _progress_printer("valuing"),
+            cancellation_poll=poll,
+            deltas_method=model.get("deltas_method", "pathwise"),
+        )
+    except JobCancelledError:
+        print("cancelled", file=sys.stderr)
+        return 130
+    finally:
+        signal.signal(signal.SIGINT, previous_handler)
     print(f"npv            {res.npv:,.2f}")
     print(f"intrinsic_npv  {res.intrinsic_npv:,.2f}")
     print(f"extrinsic_npv  {res.extrinsic_npv:,.2f}")

@@ -282,8 +282,36 @@ class StepInjectWithdrawConstraint(BaseConstraint):
             )
         return solution
 
-    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
-        return self.inventories, self.min_rates, self.max_rates, True
+    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=False):
+        if not step_interp_as_linear_nodes:
+            return self.inventories, self.min_rates, self.max_rates, True
+        # Staircase lowering for facilities that MIX step and continuous
+        # ratchet interpolation across periods (the reference permits
+        # per-period constraint objects of any type, CmdtyStorage.cs:41-50):
+        # each step node x_r becomes the linear-node pair
+        # (x_r − δ, v_{r-1}), (x_r, v_r) with δ one part in 2^22 of the node
+        # scale — wide enough to survive the engines' f32 tables, narrow
+        # enough that the blended window is far inside any physical rate
+        # resolution.  Off the δ-windows the lerp reproduces the step
+        # function exactly.
+        inv, mn, mx = [self.inventories[0]], [self.min_rates[0]], [self.max_rates[0]]
+        for r in range(1, len(self.inventories)):
+            x_r = self.inventories[r]
+            delta = max(abs(x_r), abs(self.inventories[-1] - self.inventories[0]), 1.0) * 2.0**-22
+            lo = x_r - delta
+            if lo > inv[-1]:
+                inv.append(lo)
+                mn.append(self.min_rates[r - 1])
+                mx.append(self.max_rates[r - 1])
+            inv.append(x_r)
+            mn.append(self.min_rates[r])
+            mx.append(self.max_rates[r])
+        return (
+            np.asarray(inv, dtype=np.float64),
+            np.asarray(mn, dtype=np.float64),
+            np.asarray(mx, dtype=np.float64),
+            False,
+        )
 
 
 class PolynomialInjectWithdrawConstraint(BaseConstraint):

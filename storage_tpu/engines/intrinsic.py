@@ -242,6 +242,7 @@ def intrinsic_valuation(
     dtype=jnp.float32,
     interpolation: str = "linear",
     grid_scheme: str = "linspace",
+    grid_calc=None,
 ) -> IntrinsicEngineResult:
     """Run the intrinsic DP.  Inputs are host arrays from the precompute stage.
 
@@ -249,8 +250,20 @@ def intrinsic_valuation(
     'fixed_spacing' (the reference's FixedSpacingStateSpaceGridCalc layout —
     global-range spacing from the band lower bound, capped at the upper; use
     for exact per-period decision parity with the reference's intrinsic
-    profiles, tests/test_reference_goldens.py)."""
-    if grid_scheme == "linspace":
+    profiles, tests/test_reference_goldens.py).  ``grid_calc``: user callable
+    ``(lower, upper) -> points`` applied per period (the reference's open
+    ``IDoubleStateSpaceGridCalc`` extension point,
+    IDoubleStateSpaceGridCalc.cs:32); overrides ``grid_scheme``."""
+    if grid_calc is not None:
+        if interpolation == "cubic":
+            raise ValueError(
+                "cubic interpolation requires the (uniform) linspace grid scheme."
+            )
+        grids = gridmod.inventory_grids_custom(
+            inventory_lower, inventory_upper, grid_calc
+        )
+        grid_scheme = "custom"
+    elif grid_scheme == "linspace":
         grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
     elif grid_scheme == "fixed_spacing":
         grids = gridmod.inventory_grids_fixed_spacing(

@@ -149,7 +149,8 @@ def _terminal_values(terminal_fn, spot_end, grid_end, num_grid, num_sims, dtype)
 
 
 def _backward_prep_one(x, num_extra_decisions: int, ratchet_is_step: bool,
-                       snap_interp: bool, with_w_mat: bool):
+                       snap_interp: bool, with_w_mat: bool,
+                       uniform_grids: bool = True):
     """Coefficient-INDEPENDENT per-step preparation: decision set, snapped
     interpolation indices/weights, immediate-PV decomposition (and the dense
     hat operator for the Pallas kernels).  None of this depends on the scan
@@ -166,7 +167,10 @@ def _backward_prep_one(x, num_extra_decisions: int, ratchet_is_step: bool,
     )  # [G, D]
     loss = x["loss_pcnt"] * grid_t  # [G]
     inv_after = grid_t[:, None] + decisions - loss[:, None]  # [G, D]
-    idx_lo, w_hi = interp.interp_weights(x["grid_next"], inv_after)  # [G, D]
+    weights_fn = (
+        interp.interp_weights if uniform_grids else interp.interp_weights_general
+    )
+    idx_lo, w_hi = weights_fn(x["grid_next"], inv_after)  # [G, D]
     if snap_interp:
         # Snapped weights make the hat matrix exactly bf16-representable
         # (2-pass exact interpolation in the kernel); use the same snapped
@@ -185,7 +189,8 @@ def _backward_prep_one(x, num_extra_decisions: int, ratchet_is_step: bool,
 
 
 def _backward_prep_all(per_step, num_extra_decisions: int, ratchet_is_step: bool,
-                       snap_interp: bool, with_w_mat: bool):
+                       snap_interp: bool, with_w_mat: bool,
+                       uniform_grids: bool = True):
     """Vectorise ``_backward_prep_one`` over the step axis ([N, ...] arrays)."""
     keys = (
         "grid", "grid_next", "next_min", "next_max", "df_settle", "df_flow",
@@ -195,7 +200,8 @@ def _backward_prep_all(per_step, num_extra_decisions: int, ratchet_is_step: bool
     sub = {k: per_step[k] for k in keys}
     return jax.vmap(
         lambda x: _backward_prep_one(
-            x, num_extra_decisions, ratchet_is_step, snap_interp, with_w_mat
+            x, num_extra_decisions, ratchet_is_step, snap_interp, with_w_mat,
+            uniform_grids,
         )
     )(sub)
 
@@ -329,6 +335,7 @@ def lsmc_backward(
     use_pallas: bool = False,
     snap_interp: tp.Optional[bool] = None,
     pred_passes: int = 2,
+    uniform_grids: bool = True,
 ):
     """Backward induction over materialised path panels.  Returns (v0 [G, S]
     values at the first period, regression payload dict of stacked per-step
@@ -343,6 +350,20 @@ def lsmc_backward(
     ops/decision_kernel._kernel)."""
     if snap_interp is None:
         snap_interp = use_pallas
+    elif use_pallas and not snap_interp:
+        # The kernel force-snaps the hat matrix to the 1/256 grid regardless
+        # (its 2-pass interpolation REQUIRES bf16-exact weights), so
+        # unsnapped coefficient interpolation would silently diverge the
+        # regressed and actual continuation quadratures (ADVICE r03 item 4).
+        import warnings
+
+        warnings.warn(
+            "use_pallas=True with snap_interp=False: the Pallas kernel snaps "
+            "interpolation weights internally, so the coefficient "
+            "interpolation will use a different quadrature than the value "
+            "interpolation. Pass snap_interp=True (or leave it None).",
+            stacklevel=2,
+        )
     grids = arrays["grids"]
     n = grids.shape[0] - 1
 
@@ -353,7 +374,7 @@ def lsmc_backward(
     per_step = _backward_per_step(arrays)
     per_step.update(_backward_prep_all(
         per_step, num_extra_decisions, ratchet_is_step, snap_interp,
-        with_w_mat=use_pallas,
+        with_w_mat=use_pallas, uniform_grids=uniform_grids,
     ))
     per_step["spot"] = spot_reg[:n]
     per_step["factors"] = factors_reg[:n]
@@ -703,7 +724,7 @@ def lsmc_backward_streamed(
 
 
 def _trigger_outputs(x, xbar, expected_inventory, ratchet_is_step: bool,
-                     num_extra_decisions: int, dtype):
+                     num_extra_decisions: int, dtype, uniform_grids: bool = True):
     """Per-step trigger-price outputs at the expected inventory
     (LsmcStorageValuation.cs:523-592).  ``x`` carries the step scalars,
     ``xbar`` the cross-sim mean standardised design row."""
@@ -738,7 +759,11 @@ def _trigger_outputs(x, xbar, expected_inventory, ratchet_is_step: bool,
             cost_v = (
                 jnp.where(is_inject, x["inj_cost"], x["wdr_cost"]) * abs_v * x["df_flow"]
             )
-            cont_v = interp.interp_vector(
+            iv = (
+                interp.interp_vector if uniform_grids
+                else interp.interp_vector_general
+            )
+            cont_v = iv(
                 x["grid_next"], cbar, expected_inventory + volume - e_loss
             )
             return cont_v, cost_v, consumed_v
@@ -835,6 +860,7 @@ def _forward_bodies(
     sim_tile: int,
     dtype,
     fwd_pred_passes: int = 3,
+    uniform_grids: bool = True,
 ):
     """Shared forward-step closures (fused Pallas / plain XLA) for the
     materialised and streamed scans.  Bodies take ``(carry, x)`` with carry
@@ -871,7 +897,7 @@ def _forward_bodies(
             "profile": profile,
             **_trigger_outputs(
                 x, xbar, expected_inventory, ratchet_is_step,
-                num_extra_decisions, dtype,
+                num_extra_decisions, dtype, uniform_grids,
             ),
         }
         return (new_inv, new_pv), outputs
@@ -892,7 +918,11 @@ def _forward_bodies(
         )  # [S, D]
         loss = x["loss_pcnt"] * inventory  # [S]
         inv_after = inventory[:, None] + decisions - loss[:, None]  # [S, D]
-        cont = interp.interp_per_sim(x["grid_next"], c_reg, inv_after)  # [S, D]
+        per_sim_interp = (
+            interp.interp_per_sim if uniform_grids
+            else interp.interp_per_sim_general
+        )
+        cont = per_sim_interp(x["grid_next"], c_reg, inv_after)  # [S, D]
 
         a, b, consumed = _decision_cashflow_coeffs(decisions, x)  # [S, D]
         inv_cost_npv = x["inv_cost_rate"] * inventory * x["df_flow"]  # [S]
@@ -937,7 +967,7 @@ def _forward_bodies(
             "profile": profile,
             **_trigger_outputs(
                 x, xbar, expected_inventory, ratchet_is_step,
-                num_extra_decisions, dtype,
+                num_extra_decisions, dtype, uniform_grids,
             ),
         }
         if return_sim_data:
@@ -1051,6 +1081,7 @@ def lsmc_forward(
     return_sim_data: bool,
     use_pallas: bool = False,
     fwd_pred_passes: int = 3,
+    uniform_grids: bool = True,
 ):
     """Forward simulation over materialised path panels."""
     grids = arrays["grids"]
@@ -1067,7 +1098,7 @@ def lsmc_forward(
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, return_sim_data, s_local, sim_tile, dtype,
-        fwd_pred_passes=fwd_pred_passes,
+        fwd_pred_passes=fwd_pred_passes, uniform_grids=uniform_grids,
     )
 
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
@@ -1192,6 +1223,7 @@ def lsmc_forward_streamed(
         "return_regression",
         "snap_interp",
         "pred_passes",
+        "uniform_grids",
     ),
 )
 def lsmc_core(
@@ -1212,16 +1244,22 @@ def lsmc_core(
     return_regression: bool = False,
     snap_interp: tp.Optional[bool] = None,
     pred_passes: int = 2,
+    uniform_grids: bool = True,
 ) -> tp.Dict[str, jnp.ndarray]:
+    if not uniform_grids:
+        # The fused Pallas kernels compute grid positions arithmetically
+        # (uniform spacing); non-uniform user grids take the general-interp
+        # XLA path.
+        use_pallas = False
     v0, regression = lsmc_backward(
         arrays, spot_reg, factors_reg, monomials, num_extra_decisions, terminal_fn,
         ratchet_is_step, axis_name, use_pallas=use_pallas, snap_interp=snap_interp,
-        pred_passes=pred_passes,
+        pred_passes=pred_passes, uniform_grids=uniform_grids,
     )
     result = lsmc_forward(
         arrays, spot_val, factors_val, regression, starting_inventory, monomials,
         num_extra_decisions, discount_deltas, terminal_fn, ratchet_is_step, axis_name,
-        return_sim_data, use_pallas=use_pallas,
+        return_sim_data, use_pallas=use_pallas, uniform_grids=uniform_grids,
     )
     # Backward (upper-ish) estimate: mean over sims of the first-period values at
     # the known starting inventory (grid[0] is degenerate) — LsmcStorageValuation.cs:623.
@@ -1459,8 +1497,15 @@ def build_engine_arrays(
     inventory_upper: np.ndarray,
     num_grid_points: int,
     dtype,
+    grid_calc=None,
 ) -> tp.Dict[str, jnp.ndarray]:
-    grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
+    if grid_calc is not None:
+        # User per-period grids (IDoubleStateSpaceGridCalc.cs:32 analog).
+        grids = gridmod.inventory_grids_custom(
+            inventory_lower, inventory_upper, grid_calc
+        )
+    else:
+        grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
     return {
         "grids": jnp.asarray(grids, dtype),
         "fwd": jnp.asarray(fwd, dtype),
@@ -1768,11 +1813,14 @@ def _backward_segment_chunk_mat_jit(
     )
 
 
-@partial(jax.jit, static_argnames=_FWD_SEG_STATICS + ("return_sim_data",))
+@partial(
+    jax.jit,
+    static_argnames=_FWD_SEG_STATICS + ("return_sim_data", "uniform_grids"),
+)
 def _forward_segment_chunk_mat_jit(
     carry, seg,
     *, monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
-    axis_name, antithetic, fused, return_sim_data,
+    axis_name, antithetic, fused, return_sim_data, uniform_grids=True,
 ):
     del antithetic
     s_local = carry[0].shape[0]
@@ -1781,6 +1829,7 @@ def _forward_segment_chunk_mat_jit(
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, return_sim_data, s_local, sim_tile, dtype,
+        uniform_grids=uniform_grids,
     )
     return jax.lax.scan(fused_body if fused else plain_body, carry, seg)
 
@@ -1804,6 +1853,7 @@ def lsmc_core_chunked(
     return_sim_data: bool = False,
     return_regression: bool = False,
     segment_cb: tp.Optional[tp.Callable[[str, int, int], None]] = None,
+    uniform_grids: bool = True,
 ) -> tp.Dict[str, jnp.ndarray]:
     """``lsmc_core`` with host-driven segments over materialised panels
     (internally simulated with per-sim data requested, or user-supplied sims
@@ -1811,6 +1861,8 @@ def lsmc_core_chunked(
     every ``seg_len``-step segment of both passes, and raising from the
     callback aborts between segments.  Single-process, non-collective
     execution (``axis_name=None``)."""
+    if not uniform_grids:
+        use_pallas = False  # general-interp XLA path (see lsmc_core)
     if snap_interp is None:
         snap_interp = use_pallas
     grids = arrays["grids"]
@@ -1840,7 +1892,7 @@ def lsmc_core_chunked(
     per_step = _backward_per_step(arrays)
     per_step.update(_backward_prep_all(
         per_step, num_extra_decisions, ratchet_is_step, snap_interp,
-        with_w_mat=use_pallas,
+        with_w_mat=use_pallas, uniform_grids=uniform_grids,
     ))
     per_step["spot"] = spot_reg[:n]
     per_step["factors"] = factors_reg[:n]
@@ -1891,7 +1943,7 @@ def lsmc_core_chunked(
         monomials=monomials, num_extra_decisions=num_extra_decisions,
         discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
         axis_name=None, antithetic=False, fused=fwd_fused,
-        return_sim_data=return_sim_data,
+        return_sim_data=return_sim_data, uniform_grids=uniform_grids,
     )
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     fcarry = (inv0, jnp.zeros((s_local,), dtype))

@@ -40,7 +40,12 @@ class TreeSimulationResult(tp.NamedTuple):
     node_path: jnp.ndarray  # [N+1] node level visited per period
 
 
-@partial(jax.jit, static_argnames=("num_extra_decisions", "terminal_fn", "ratchet_is_step"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_extra_decisions", "terminal_fn", "ratchet_is_step", "interpolation",
+    ),
+)
 def _tree_core(
     arrays: tp.Dict[str, jnp.ndarray],
     tree: tp.Dict[str, jnp.ndarray],
@@ -48,6 +53,7 @@ def _tree_core(
     num_extra_decisions: int,
     terminal_fn,
     ratchet_is_step: bool,
+    interpolation: str = "linear",
 ):
     grids = arrays["grids"]  # [N+1, G]
     n = grids.shape[0] - 1
@@ -84,6 +90,14 @@ def _tree_core(
         "transition": tree["transition"][:n],  # [N, M, M]
     }
 
+    if interpolation not in ("linear", "cubic"):
+        raise ValueError("interpolation must be 'linear' or 'cubic'.")
+    cubic_solver = (
+        interp.natural_cubic_solver(grids.shape[1])
+        if interpolation == "cubic"
+        else None
+    )
+
     def backward_step(v_next, x):
         # Expected continuation rows per node (TreeStorageValuation.cs:325-330),
         # as one dense [M, M] x [M, G] matmul on the MXU.
@@ -119,9 +133,23 @@ def _tree_core(
             x["wdr_pcnt"],
             x["inv_cost_rate"],
         )  # [M, G, D]
-        cont = jax.vmap(lambda ev_row: interp.interp_vector(x["grid_next"], ev_row, inv_after))(
-            ev
-        )  # [M, G, D]
+        if interpolation == "cubic":
+            # Natural cubic spline in inventory per price node — the
+            # reference's alternative interpolator factory
+            # (NaturalCubicSplineInterpolatorFactory,
+            # InterpolatorFactories/IInterpolatorFactory.cs:33-37; documented
+            # there as occasionally poorly behaved — linear is the default).
+            def cont_row(ev_row):
+                moments = interp.cubic_moments(x["grid_next"], ev_row, cubic_solver)
+                return interp.interp_vector_cubic(
+                    x["grid_next"], ev_row, moments, inv_after
+                )
+
+            cont = jax.vmap(cont_row)(ev)  # [M, G, D]
+        else:
+            cont = jax.vmap(
+                lambda ev_row: interp.interp_vector(x["grid_next"], ev_row, inv_after)
+            )(ev)  # [M, G, D]
         value = jnp.max(pv + cont, axis=-1)  # [M, G]
         return value, value
 
@@ -146,10 +174,31 @@ def tree_valuation(
     num_grid_points: int = 100,
     num_extra_decisions: int = 0,
     dtype=jnp.float32,
+    interpolation: str = "linear",
+    grid_calc=None,
 ) -> TreeEngineResult:
     """Run the tree DP.  ``tree_offset`` aligns the tree (built from the
-    valuation period) with the active storage window."""
-    grids = gridmod.inventory_grids(inventory_lower, inventory_upper, num_grid_points)
+    valuation period) with the active storage window.
+
+    ``interpolation``: 'linear' (default) or 'cubic' (natural cubic spline in
+    inventory — the reference's ``NaturalCubicSplineInterpolatorFactory``).
+    ``grid_calc``: optional callable ``(lower, upper) -> grid points`` applied
+    per period (the ``IDoubleStateSpaceGridCalc.GetGridPoints`` analog,
+    IDoubleStateSpaceGridCalc.cs:32); cubic requires the uniform linspace
+    grid."""
+    if grid_calc is not None:
+        if interpolation == "cubic":
+            raise ValueError(
+                "cubic interpolation requires the uniform linspace grid "
+                "(grid_calc must be None)."
+            )
+        grids = gridmod.inventory_grids_custom(
+            inventory_lower, inventory_upper, grid_calc
+        )
+    else:
+        grids = gridmod.inventory_grids(
+            inventory_lower, inventory_upper, num_grid_points
+        )
     arrays = {
         "grids": jnp.asarray(grids, dtype),
         "lower": jnp.asarray(inventory_lower, dtype),
@@ -182,6 +231,7 @@ def tree_valuation(
         num_extra_decisions,
         terminal_fn,
         compiled.ratchet_is_step,
+        interpolation=interpolation,
     ), arrays, tree_arrays
 
 

@@ -123,7 +123,11 @@ class CmdtyStorage:
                 ratchet_interp,
                 "ratchet_interp parameter should be provided if ratchets parameter is provided.",
             )
-            if ratchet_interp == RatchetInterp.STEP and terminal_storage_npv is None:
+            any_step = ratchet_interp == RatchetInterp.STEP or any(
+                len(entry) == 3 and entry[2] == RatchetInterp.STEP
+                for entry in ratchets
+            )
+            if any_step and terminal_storage_npv is None:
                 raise ValueError(
                     "When ratchet_interp is RatchetInterp.STEP terminal_storage_npv should be specified"
                 )
@@ -200,25 +204,35 @@ class CmdtyStorage:
         # Build per-period constraint objects by forward-filling the supplied
         # ratchet periods (CmdtyStorageBuilderExtensions.cs:145-215): the
         # constraint at a period is that of the latest ratchet period <= it.
-        parsed: tp.List[tp.Tuple[pd.Period, tp.List[tp.Tuple[float, float, float]]]] = []
-        for period_spec, nodes in ratchets:
+        # A ratchet entry may be (period, nodes) — using the facility-level
+        # ``ratchet_interp`` — or (period, nodes, interp) overriding it per
+        # period (the reference permits per-period constraint objects of any
+        # type, CmdtyStorage.cs:41-50; mixed step/continuous facilities are
+        # lowered to a single linear table mode in compile_storage).
+        parsed: tp.List[tp.Tuple[pd.Period, tp.List[tp.Tuple[float, float, float]], RatchetInterp]] = []
+        for entry in ratchets:
+            if len(entry) == 3:
+                period_spec, nodes, interp = entry
+            else:
+                period_spec, nodes = entry
+                interp = ratchet_interp
             period = pu.to_period(period_spec, self._pandas_freq)
             node_list = [(float(i), float(mn), float(mx)) for (i, mn, mx) in nodes]
             if len(node_list) < 2:
                 raise ValueError(
                     f"Period {period} contains less than 2 inject/withdraw/inventory constraints."
                 )
-            parsed.append((period, node_list))
+            parsed.append((period, node_list, interp))
         if not parsed:
             raise ValueError("No inject/withdraw constraints provided.")
         parsed.sort(key=lambda item: item[0])
         seen = set()
-        for period, _ in parsed:
+        for period, _, _ in parsed:
             if period in seen:
                 raise ValueError("Repeated periods found in inject/withdraw ranges.")
             seen.add(period)
 
-        def build_constraint(node_list) -> con.BaseConstraint:
+        def build_constraint(node_list, interp) -> con.BaseConstraint:
             # Two rows with identical rates represent a constant constraint
             # (CmdtyStorageBuilderExtensions.cs:163-172).
             if (
@@ -227,15 +241,15 @@ class CmdtyStorage:
                 and node_list[0][2] == node_list[1][2]
             ):
                 return con.ConstantInjectWithdrawConstraint(node_list[0][1], node_list[0][2])
-            if ratchet_interp == RatchetInterp.LINEAR:
+            if interp == RatchetInterp.LINEAR:
                 return con.PiecewiseLinearInjectWithdrawConstraint(node_list)
-            if ratchet_interp == RatchetInterp.STEP:
+            if interp == RatchetInterp.STEP:
                 return con.StepInjectWithdrawConstraint(node_list)
             return con.PolynomialInjectWithdrawConstraint(node_list)
 
         built = [
-            (period, build_constraint(nodes), min(n[0] for n in nodes), max(n[0] for n in nodes))
-            for period, nodes in parsed
+            (period, build_constraint(nodes, interp), min(n[0] for n in nodes), max(n[0] for n in nodes))
+            for period, nodes, interp in parsed
         ]
         self._constraints = []
         min_inv = np.empty(len(self._all_periods))
@@ -418,9 +432,19 @@ def compile_storage(storage: CmdtyStorage, val_period: pd.Period) -> CompiledSto
     ]
     is_step_flags = {tab[3] for tab in tables}
     if len(is_step_flags) > 1:
-        raise ValueError(
-            "Mixing step and continuous ratchet interpolation across periods is not supported."
-        )
+        # Mixed step + continuous interpolation across periods (the reference
+        # permits per-period constraint objects of any type,
+        # CmdtyStorage.cs:41-50): the device tables carry ONE global
+        # interpolation mode, so STEP constraints are re-lowered as staircase
+        # linear-node tables (exact off 2^-22-wide jump windows — see
+        # StepInjectWithdrawConstraint.table) and the whole facility runs in
+        # linear mode.  All-step facilities keep the exact step lookup.
+        tables = [
+            storage.constraint_at(first_step + t).table(
+                min_inv[t], max_inv[t], step_interp_as_linear_nodes=True
+            )
+            for t in range(num_steps)
+        ]
     ratchet_is_step = tables[0][3] if tables else False
     width = max(len(tab[0]) for tab in tables) if tables else 2
     ratchet_inv = np.zeros((num_steps, width))

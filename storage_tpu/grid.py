@@ -222,6 +222,44 @@ def inventory_grids(
     return grids
 
 
+def inventory_grids_custom(
+    lower: np.ndarray, upper: np.ndarray, grid_calc
+) -> np.ndarray:
+    """Per-period grids from a user-supplied ``grid_calc(lower, upper)``
+    callable — the open extension point of the reference's
+    ``IDoubleStateSpaceGridCalc.GetGridPoints`` (IDoubleStateSpaceGridCalc.cs:32).
+
+    The callable returns the grid points for one period's feasible band; rows
+    may have different lengths and are padded to a static rectangular width by
+    repeating the last point (the engines' interpolation treats zero-span
+    segments as their left node — same padding contract as the fixed-spacing
+    scheme).  Points are validated sorted and within [lower, upper]."""
+    num_periods = len(lower)
+    rows = []
+    for t in range(num_periods):
+        pts = np.asarray(grid_calc(float(lower[t]), float(upper[t])), dtype=np.float64)
+        if pts.ndim != 1 or pts.size < 1:
+            raise ValueError(
+                f"grid_calc must return a 1-D array of at least one point "
+                f"(period {t}: shape {pts.shape})."
+            )
+        if np.any(np.diff(pts) < 0):
+            raise ValueError(f"grid_calc points must be sorted (period {t}).")
+        eps = 1e-9 * max(1.0, abs(upper[t] - lower[t]))
+        if pts[0] < lower[t] - eps or pts[-1] > upper[t] + eps:
+            raise ValueError(
+                f"grid_calc points must lie within the feasible band "
+                f"[{lower[t]}, {upper[t]}] (period {t})."
+            )
+        rows.append(pts)
+    width = max(2, max(len(r) for r in rows))
+    grids = np.empty((num_periods, width))
+    for t, pts in enumerate(rows):
+        grids[t, : len(pts)] = pts
+        grids[t, len(pts):] = pts[-1]
+    return grids
+
+
 def inventory_grids_fixed_spacing(
     lower: np.ndarray,
     upper: np.ndarray,

@@ -78,6 +78,38 @@ def interp_vector(grid, values, x):
     return lo_vals + (hi_vals - lo_vals) * w_hi
 
 
+def interp_weights_general(grid, x):
+    """(idx_lo, w_hi) on a NON-uniform, non-decreasing 1-D ``grid`` [G]
+    (clamped; zero-span segments — e.g. the padding of custom/fixed-spacing
+    grids — yield weight 0 on their left node).  Same contract as
+    ``interp_weights``; index by counting nodes <= x (G is ≤ a few hundred
+    and the vectorised compares beat a searchsorted lowering on TPU)."""
+    g = grid.shape[0]
+    x_c = jnp.clip(x, grid[0], grid[g - 1])
+    idx = jnp.zeros(jnp.shape(x_c), dtype=jnp.int32)
+    for r in range(1, g - 1):
+        idx = idx + (x_c >= grid[r]).astype(jnp.int32)
+    x0 = grid[idx]
+    x1 = grid[idx + 1]
+    span = x1 - x0
+    w = jnp.where(span > 0, (x_c - x0) / jnp.where(span > 0, span, 1.0), 0.0)
+    return idx, w
+
+
+def interp_per_sim_general(grid, values, x):
+    """``interp_per_sim`` on a non-uniform grid: hat weights built from the
+    general index/weight pair instead of uniform position arithmetic."""
+    idx_lo, w = interp_weights_general(grid, x)  # [S, D]
+    g_idx = jnp.arange(grid.shape[0])
+    hat = (
+        (idx_lo[..., None] == g_idx) * (1.0 - w[..., None])
+        + ((idx_lo + 1)[..., None] == g_idx) * w[..., None]
+    )  # [S, D, G]
+    return jnp.einsum(
+        "sdg,sg->sd", hat, values, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def interp_vector_general(grid, values, x):
     """Linear interpolation on a NON-uniform, non-decreasing 1-D ``grid`` [G]
     (clamped).  Supports the reference's fixed-spacing grids, whose last

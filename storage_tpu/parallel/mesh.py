@@ -285,14 +285,14 @@ def sim_inputs_from_precompute(pre: SimulationPrecompute, fwd: np.ndarray, dtype
     static_argnames=(
         "mesh", "monomials", "num_extra_decisions", "discount_deltas",
         "terminal_fn", "ratchet_is_step", "return_sim_data", "use_pallas",
-        "return_regression", "pred_passes",
+        "return_regression", "pred_passes", "uniform_grids",
     ),
 )
 def _sharded_from_sims_jit(
     arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
     *, mesh, monomials, num_extra_decisions, discount_deltas, terminal_fn,
     ratchet_is_step, return_sim_data, use_pallas, return_regression=False,
-    pred_passes=2,
+    pred_passes=2, uniform_grids=True,
 ):
     def shard_fn(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0):
         return lsmc_engine.lsmc_core(
@@ -300,7 +300,7 @@ def _sharded_from_sims_jit(
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
             use_pallas=use_pallas, return_regression=return_regression,
-            pred_passes=pred_passes,
+            pred_passes=pred_passes, uniform_grids=uniform_grids,
         )
 
     sharded_keys = {
@@ -352,6 +352,7 @@ def lsmc_core_from_sims(
     mesh: tp.Optional[Mesh] = None,
     return_regression: bool = False,
     pred_passes: int = 2,
+    uniform_grids: bool = True,
 ):
     """LSMC over pre-simulated path panels ([N+1, S] / [N+1, F, S]), sharding
     the sim axis across all local devices when possible (the distributed analog
@@ -395,7 +396,7 @@ def lsmc_core_from_sims(
             ratchet_is_step, axis_name=None, return_sim_data=return_sim_data,
             use_pallas=resolved_pallas,
             return_regression=return_regression,
-            pred_passes=pred_passes,
+            pred_passes=pred_passes, uniform_grids=uniform_grids,
         )
     s_local = num_sims // mesh.devices.size
     resolved_pallas = lsmc_engine.resolve_use_pallas(
@@ -410,7 +411,7 @@ def lsmc_core_from_sims(
         return_sim_data=return_sim_data,
         use_pallas=resolved_pallas,
         return_regression=return_regression,
-        pred_passes=pred_passes,
+        pred_passes=pred_passes, uniform_grids=uniform_grids,
     )
 
 

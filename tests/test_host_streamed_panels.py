@@ -1,0 +1,106 @@
+"""Host-streamed user-supplied sim panels (VERDICT r03 item 8).
+
+BASELINE.md milestone 5 includes 1M user-supplied sim paths on one chip:
+materialised panels at that scale (~11.7 GB f32) exceed device HBM, so when
+the panel footprint crosses the streaming threshold ``value_from_sims`` keeps
+the panels host-side (numpy) and the chunked driver segment-feeds seg_len-step
+slices to the device — the user-panel analog of the internally-simulated
+streamed engine.  Reference panel ingestion: SpotSimResultsFromPanels.cs:36-117.
+"""
+import logging
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from test_lsmc import reg_market, simple_reg_storage  # noqa: E402
+
+from storage_tpu import SimulationDataReturned, multi_factor_value, value_from_sims  # noqa: E402
+
+F64 = jnp.float64
+
+
+@pytest.fixture
+def panels():
+    val_date, fwd, rates, settle = reg_market()
+    vol_idx = pd.period_range(val_date, "2020-06-01", freq="D")
+    factors = [
+        (0.0, pd.Series(index=vol_idx, data=0.14)),
+        (16.2, pd.Series(index=vol_idx.copy(), data=1.15)),
+    ]
+    res = multi_factor_value(
+        simple_reg_storage(), val_date, 0.0, fwd, rates, settle, factors,
+        0.64, 128, "1 + x0 + x0**2 + x1", False, seed=11, fwd_sim_seed=13,
+        dtype=F64, sim_data_returned=SimulationDataReturned.ALL,
+    )
+    kwargs = dict(
+        sim_spot_regress=res.sim_spot_regress,
+        sim_spot_valuation=res.sim_spot_valuation,
+        sim_factors_regress=res.sim_factors_regress,
+        sim_factors_valuation=res.sim_factors_valuation,
+    )
+    return val_date, fwd, rates, settle, kwargs
+
+
+def _value(val_date, fwd, rates, settle, kwargs, **extra):
+    return value_from_sims(
+        simple_reg_storage(), val_date, 0.0, fwd, rates, settle,
+        basis_funcs="1 + x0 + x0**2 + x1", discount_deltas=False, dtype=F64,
+        **kwargs, **extra,
+    )
+
+
+def test_host_streamed_matches_materialised(panels, monkeypatch, caplog):
+    val_date, fwd, rates, settle, kwargs = panels
+    baseline = _value(val_date, fwd, rates, settle, kwargs)
+
+    from storage_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(pmesh, "STREAM_THRESHOLD_BYTES", 1024)
+    with caplog.at_level(logging.INFO, logger="storage_tpu.multi_factor"):
+        streamed = _value(val_date, fwd, rates, settle, kwargs)
+    assert any("host-streamed" in r.message for r in caplog.records)
+    assert streamed.npv == pytest.approx(baseline.npv, rel=1e-12)
+    pd.testing.assert_series_equal(streamed.deltas, baseline.deltas)
+    pd.testing.assert_frame_equal(
+        streamed.expected_profile, baseline.expected_profile
+    )
+    pd.testing.assert_frame_equal(
+        streamed.trigger_prices, baseline.trigger_prices
+    )
+
+
+def test_host_streamed_rejects_sim_data(panels, monkeypatch):
+    val_date, fwd, rates, settle, kwargs = panels
+    from storage_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(pmesh, "STREAM_THRESHOLD_BYTES", 1024)
+    with pytest.raises(ValueError, match="do not fit device memory"):
+        _value(val_date, fwd, rates, settle, kwargs,
+               sim_data_returned=SimulationDataReturned.ALL)
+
+
+def test_host_streamed_rejects_adjoint(panels, monkeypatch):
+    val_date, fwd, rates, settle, kwargs = panels
+    from storage_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(pmesh, "STREAM_THRESHOLD_BYTES", 1024)
+    with pytest.raises(NotImplementedError, match="host-streamed"):
+        _value(val_date, fwd, rates, settle, kwargs, deltas_method="adjoint")
+
+
+def test_host_streamed_with_progress(panels, monkeypatch):
+    """Interactivity composes with host streaming (same chunked driver)."""
+    val_date, fwd, rates, settle, kwargs = panels
+    from storage_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(pmesh, "STREAM_THRESHOLD_BYTES", 1024)
+    fractions = []
+    res = _value(val_date, fwd, rates, settle, kwargs,
+                 on_progress_update=fractions.append)
+    assert np.isfinite(res.npv)
+    assert len(fractions) >= 122 / 16
+    assert fractions[-1] == 1.0
