@@ -1152,56 +1152,64 @@ def lsmc_forward_streamed(
     )
     body = fused_body if fused else plain_body
 
-    def streamed_body(carry, x):
-        inventory, pv, x_state = carry
-        z = _stream_draw(stream, x["t_idx"], antithetic)
-        x_new = spot_sim_mod.ou_step(x_state, z, x["sim_decay"], x["sim_chol"])
-        x = dict(x)
-        x["spot"] = spot_sim_mod.spot_from_state(
-            x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
-        )
-        x["factors"] = x_new  # [F, S] state layout
-        (new_inventory, new_pv), outputs = body((inventory, pv), x)
-        return (new_inventory, new_pv, x_new), outputs
+    def seg_scan_plain(carry, seg_xs):
+        # Bulk-draw the whole segment's normals in ONE hash call, then
+        # consume them step-by-step from their block-half layout: per-step
+        # drawing inside the scan SEQUENTIALISES the threefry hashing
+        # (measured ~70 ms per 262k-path sweep; the streamed backward has
+        # always regenerated per segment — this applies the same structure
+        # to the forward pass).  Values are bit-identical either way.
+        z_xs, get_z = _stream_scan_draws(stream, seg_xs["t_idx"], antithetic)
+
+        def inner(c, one):
+            z_or_t, x = one
+            inventory, pv, x_state = c
+            z = get_z(z_or_t, x["t_idx"])
+            x_new = spot_sim_mod.ou_step(
+                x_state, z, x["sim_decay"], x["sim_chol"]
+            )
+            x = dict(x)
+            x["spot"] = spot_sim_mod.spot_from_state(
+                x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
+            )
+            x["factors"] = x_new  # [F, S] state layout
+            (new_inventory, new_pv), outputs = body((inventory, pv), x)
+            return (new_inventory, new_pv, x_new), outputs
+
+        return jax.lax.scan(inner, carry, (z_xs, seg_xs))
 
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     pv0 = jnp.zeros((s_local,), dtype)
     x0 = jnp.zeros((f, s_local), dtype)
-    if not remat:
-        (final_inventory, pv_by_sim, x_last), outputs = jax.lax.scan(
-            streamed_body, (inv0, pv0, x0), per_step
+    seg = max(1, min(seg_len, n))
+    m, r = n // seg, n % seg
+    seg_scan = (
+        jax.checkpoint(seg_scan_plain, prevent_cse=False) if remat
+        else seg_scan_plain
+    )
+    full = jax.tree.map(
+        lambda a: a[: m * seg].reshape((m, seg) + a.shape[1:]), per_step
+    )
+    ragged = jax.tree.map(lambda a: a[m * seg :], per_step)
+    carry = (inv0, pv0, x0)
+    ys_full = None
+    if m > 0:
+        carry, ys_full = jax.lax.scan(seg_scan, carry, full)
+        ys_full = jax.tree.map(
+            lambda a: a.reshape((m * seg,) + a.shape[2:]), ys_full
         )
+    ys_ragged = None
+    if r > 0:
+        carry, ys_ragged = seg_scan(carry, ragged)
+    if ys_full is None:
+        outputs = ys_ragged
+    elif ys_ragged is None:
+        outputs = ys_full
     else:
-        seg = max(1, min(seg_len, n))
-        m, r = n // seg, n % seg
-
-        def seg_scan(carry, seg_xs):
-            return jax.lax.scan(streamed_body, carry, seg_xs)
-
-        seg_scan = jax.checkpoint(seg_scan, prevent_cse=False)
-        full = jax.tree.map(
-            lambda a: a[: m * seg].reshape((m, seg) + a.shape[1:]), per_step
+        outputs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), ys_full, ys_ragged
         )
-        ragged = jax.tree.map(lambda a: a[m * seg :], per_step)
-        carry = (inv0, pv0, x0)
-        ys_full = None
-        if m > 0:
-            carry, ys_full = jax.lax.scan(seg_scan, carry, full)
-            ys_full = jax.tree.map(
-                lambda a: a.reshape((m * seg,) + a.shape[2:]), ys_full
-            )
-        ys_ragged = None
-        if r > 0:
-            carry, ys_ragged = seg_scan(carry, ragged)
-        if ys_full is None:
-            outputs = ys_ragged
-        elif ys_ragged is None:
-            outputs = ys_full
-        else:
-            outputs = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=0), ys_full, ys_ragged
-            )
-        final_inventory, pv_by_sim, x_last = carry
+    final_inventory, pv_by_sim, x_last = carry
     _, spot_end = _stream_terminal_state(stream, x_last, n, antithetic)
     return _forward_finalise(
         outputs, final_inventory, pv_by_sim, spot_end, terminal_fn,
@@ -1611,10 +1619,14 @@ def _forward_segment_chunk_jit(
         axis_name, False, s_local, sim_tile, dtype,
     )
     body = fused_body if fused else plain_body
+    # One bulk hash call for the whole segment (per-step draws inside the
+    # scan sequentialise the hashing — see lsmc_forward_streamed).
+    z_xs, get_z = _stream_scan_draws(stream, seg["t_idx"], antithetic)
 
-    def streamed_body(c, x):
+    def streamed_body(c, one):
+        z_or_t, x = one
         inventory, pv, x_state = c
-        z = _stream_draw(stream, x["t_idx"], antithetic)
+        z = get_z(z_or_t, x["t_idx"])
         x_new = spot_sim_mod.ou_step(x_state, z, x["sim_decay"], x["sim_chol"])
         x = dict(x)
         x["spot"] = spot_sim_mod.spot_from_state(
@@ -1624,7 +1636,7 @@ def _forward_segment_chunk_jit(
         (new_inventory, new_pv), outputs = body((inventory, pv), x)
         return (new_inventory, new_pv, x_new), outputs
 
-    return jax.lax.scan(streamed_body, carry, seg)
+    return jax.lax.scan(streamed_body, carry, (z_xs, seg))
 
 
 def lsmc_core_streamed_chunked(
