@@ -55,9 +55,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Simulation-tile width: lane-dim multiple of 128; 1024 keeps the per-tile
-# working set (~3 MB at G=100, D=3) comfortably inside VMEM double-buffered.
-_TILE_CANDIDATES = (1024, 512, 256, 128)
+# Simulation-tile width: lane-dim multiple of 128.  2048 measured fastest for
+# the backward kernel on v5e (324 vs 330 ms/sweep at the bench config, round
+# 4; 4096 fails to compile); smaller sim counts fall through to the next
+# divisible candidate.  Per-tile working set at G=100, D=3 stays well inside
+# VMEM double-buffered.
+_TILE_CANDIDATES = (2048, 1024, 512, 256, 128)
 
 
 def _split_bf16(x):

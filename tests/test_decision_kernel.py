@@ -99,7 +99,7 @@ def test_kernel_matches_xla_path(case):
 
 
 def test_pick_sim_tile():
-    assert decision_kernel.pick_sim_tile(262144) == 1024
+    assert decision_kernel.pick_sim_tile(262144) == 2048
     assert decision_kernel.pick_sim_tile(512) == 512
     assert decision_kernel.pick_sim_tile(384) == 128
     assert decision_kernel.pick_sim_tile(100) == 0
