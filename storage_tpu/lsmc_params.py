@@ -77,6 +77,10 @@ class LsmcValuationParameters:
     dtype: tp.Any = jnp.float32
     deltas_method: str = "pathwise"
     checkpoint_path: tp.Optional[str] = None
+    # The reference's open grid extension point (LsmcValuationParameters
+    # carries an IDoubleStateSpaceGridCalc): a callable (lower, upper) ->
+    # grid points applied per period; overrides num_inventory_grid_points.
+    grid_calc: tp.Optional[tp.Callable] = None
 
     @staticmethod
     def builder() -> "LsmcValuationParametersBuilder":
@@ -155,6 +159,11 @@ class LsmcValuationParametersBuilder:
             )
         return self._set("deltas_method", deltas_method)
 
+    def with_grid_calc(self, grid_calc: tp.Callable):
+        """Per-period grid callable — the ``IDoubleStateSpaceGridCalc``
+        analog (IDoubleStateSpaceGridCalc.cs:32)."""
+        return self._set("grid_calc", grid_calc)
+
     def with_checkpoint_path(self, path: str):
         """Persist the backward pass's regression payload to ``path`` after the
         valuation (checkpoint.RegressionCheckpoint) — later market moves can be
@@ -216,6 +225,7 @@ def lsmc_value(params: LsmcValuationParameters) -> MultiFactorValuationResults:
         cancellation_poll=params.cancellation_poll,
         deltas_method=params.deltas_method,
         checkpoint_path=params.checkpoint_path,
+        grid_calc=params.grid_calc,
     )
     spec = params.sim_spec
     if isinstance(spec, MultiFactorSimSpec):
