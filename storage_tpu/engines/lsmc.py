@@ -1418,6 +1418,7 @@ def lsmc_npv_and_ad_deltas(
     static_argnames=(
         "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
         "ratchet_is_step", "axis_name", "seg_len", "antithetic", "same_sims",
+        "use_pallas",
     ),
 )
 def lsmc_npv_and_ad_deltas_streamed(
@@ -1436,6 +1437,7 @@ def lsmc_npv_and_ad_deltas_streamed(
     seg_len: int = 32,
     antithetic: bool = False,
     same_sims: bool = False,
+    use_pallas: bool = False,
 ):
     """Adjoint deltas with streamed sims and segment rematerialisation
     (VERDICT r02 item 3: the sharded, memory-bounded adjoint sweep).
@@ -1467,9 +1469,14 @@ def lsmc_npv_and_ad_deltas_streamed(
         fwd=fwd, key=reg_key, path_ids=path_ids,
     )
     val_stream = reg_stream._replace(key=reg_key if same_sims else val_key)
+    # The backward pass sits OUTSIDE value_and_grad (its payload is
+    # stop_gradient-ed below), so it may run the fused Pallas kernel: the
+    # adjoint then prices with the SAME policy quadrature as the pricing run,
+    # and the sweep no longer pays the 5.5x XLA-backward penalty (the
+    # differentiated FORWARD below must stay XLA — Pallas defines no VJP).
     _v0, regression = lsmc_backward_streamed(
         arrays, reg_stream, monomials, num_extra_decisions, terminal_fn,
-        ratchet_is_step, axis_name, use_pallas=False, seg_len=seg_len,
+        ratchet_is_step, axis_name, use_pallas=use_pallas, seg_len=seg_len,
         antithetic=antithetic,
     )
     regression = jax.tree.map(jax.lax.stop_gradient, regression)

@@ -420,14 +420,14 @@ def lsmc_core_from_sims(
     static_argnames=(
         "mesh", "s_local", "monomials", "num_extra_decisions",
         "discount_deltas", "terminal_fn", "ratchet_is_step", "seg_len",
-        "antithetic", "same_sims",
+        "antithetic", "same_sims", "use_pallas",
     ),
 )
 def _sharded_ad_deltas_jit(
     arrays, sim_inputs, reg_key, val_key, inv0,
     *, mesh, s_local, monomials, num_extra_decisions, discount_deltas,
     terminal_fn, ratchet_is_step, seg_len=32, antithetic=False,
-    same_sims=False,
+    same_sims=False, use_pallas=False,
 ):
     def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
         shard = jax.lax.axis_index(AXIS)
@@ -437,6 +437,7 @@ def _sharded_ad_deltas_jit(
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
             ratchet_is_step, axis_name=AXIS, seg_len=seg_len,
             antithetic=antithetic, same_sims=same_sims,
+            use_pallas=use_pallas,
         )
         # Both are pmean-reduced across shards inside the engine function
         # (the gradient is computed collective-free per shard and averaged
@@ -503,4 +504,7 @@ def sharded_ad_deltas(
         discount_deltas=discount_deltas, terminal_fn=terminal_fn,
         ratchet_is_step=ratchet_is_step, seg_len=seg_len,
         antithetic=antithetic, same_sims=same_sims,
+        use_pallas=lsmc_engine.resolve_use_pallas(
+            None, num_sims // n_dev, arrays["grids"].dtype
+        ),
     )
