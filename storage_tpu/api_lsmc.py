@@ -757,6 +757,9 @@ def _lsmc_calc(
                     jnp.asarray(inputs.starting_inventory, arrays["grids"].dtype),
                     monomials, int(extra_decisions or 0), bool(discount_deltas),
                     terminal_fn, inputs.compiled.ratchet_is_step,
+                    use_pallas=lsmc_engine.resolve_use_pallas(
+                        None, spot_reg.shape[1], arrays["grids"].dtype
+                    ),
                 )
             result["deltas"] = np.asarray(deltas_ad)
     logger.info(

@@ -1357,7 +1357,7 @@ def lsmc_core_streamed(
     jax.jit,
     static_argnames=(
         "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
-        "ratchet_is_step", "axis_name",
+        "ratchet_is_step", "axis_name", "use_pallas",
     ),
 )
 def lsmc_npv_and_ad_deltas(
@@ -1373,8 +1373,9 @@ def lsmc_npv_and_ad_deltas(
     terminal_fn,
     ratchet_is_step: bool,
     axis_name: tp.Optional[str] = None,
+    use_pallas: bool = False,
 ):
-    """NPV and deltas by automatic differentiation through the whole valuation.
+    """NPV and deltas by automatic differentiation through the valuation.
 
     The pathwise assumption of the reference (spot = forward x stochastic
     factor, LsmcStorageValuation.cs:514-517) is made explicit: the simulated
@@ -1388,22 +1389,31 @@ def lsmc_npv_and_ad_deltas(
     hand formula ignores.  Returns (npv, deltas [N+1]) with deltas
     undiscounted unless ``discount_deltas`` (delta scaling mirrors the
     pathwise series: last entry 0).
-    """
 
-    def npv_of_fwd(fwd):
+    Structure mirrors the streamed variant: the BACKWARD pass runs outside
+    ``value_and_grad`` (its regression payload only reaches the NPV through
+    the gradient-dead argmax, so it is ``stop_gradient``-ed) — which both
+    shrinks the tape and lets it use the fused Pallas kernel on TPU.
+    """
+    fwd = arrays["fwd"]
+    spot_reg = fwd[:, None] * stoch_reg
+    v0, regression = lsmc_backward(
+        arrays, spot_reg, factors_reg, monomials, num_extra_decisions,
+        terminal_fn, ratchet_is_step, axis_name, use_pallas=use_pallas,
+    )
+    regression = jax.tree.map(jax.lax.stop_gradient, regression)
+
+    def npv_of_fwd(fwd_v):
         arr = dict(arrays)
-        arr["fwd"] = fwd
-        spot_reg = fwd[:, None] * stoch_reg
-        spot_val = fwd[:, None] * stoch_val
-        result = lsmc_core(
-            arr, spot_reg, factors_reg, spot_val, factors_val,
-            starting_inventory, monomials, num_extra_decisions, False,
-            terminal_fn, ratchet_is_step, axis_name=axis_name,
-            return_sim_data=False,
+        arr["fwd"] = fwd_v
+        spot_val = fwd_v[:, None] * stoch_val
+        result = lsmc_forward(
+            arr, spot_val, factors_val, regression, starting_inventory,
+            monomials, num_extra_decisions, False, terminal_fn,
+            ratchet_is_step, axis_name, False,
         )
         return result["npv"]
 
-    fwd = arrays["fwd"]
     npv, grad_fwd = jax.value_and_grad(npv_of_fwd)(fwd)
     if discount_deltas:
         # value_and_grad discounts to the valuation date already.
