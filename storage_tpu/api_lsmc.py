@@ -361,13 +361,9 @@ def _align_frame(frame: pd.DataFrame, periods: pd.PeriodIndex, name: str) -> np.
 def _grids_uniform(grids) -> bool:
     """True when every period's grid row is evenly spaced (within f32-scale
     tolerance) — such custom grids keep the fast uniform-interp kernels."""
-    g = np.asarray(grids, dtype=np.float64)
-    if g.shape[1] < 3:
-        return True
-    d = np.diff(g, axis=1)
-    span = g[:, -1] - g[:, 0]
-    tol = 1e-6 * np.maximum(1.0, np.abs(span))[:, None]
-    return bool(np.all(np.abs(d - d[:, :1]) <= tol))
+    from .grid import rows_uniform
+
+    return rows_uniform(grids)
 
 
 def _panel_gb(spot_reg, factors_reg, dtype) -> float:

@@ -40,10 +40,26 @@ class TreeSimulationResult(tp.NamedTuple):
     node_path: jnp.ndarray  # [N+1] node level visited per period
 
 
+
+
+def _cont_interp(interpolation: str, uniform_grids: bool, cubic_solver):
+    """Continuation interpolator for a single value row [G] at targets [...]:
+    linear (uniform or general compare-count) or natural cubic (uniform
+    grids only)."""
+    if interpolation == "cubic":
+        def f(grid, ev_row, targets):
+            moments = interp.cubic_moments(grid, ev_row, cubic_solver)
+            return interp.interp_vector_cubic(grid, ev_row, moments, targets)
+        return f
+    if uniform_grids:
+        return interp.interp_vector
+    return interp.interp_vector_general
+
 @partial(
     jax.jit,
     static_argnames=(
         "num_extra_decisions", "terminal_fn", "ratchet_is_step", "interpolation",
+        "uniform_grids",
     ),
 )
 def _tree_core(
@@ -54,6 +70,7 @@ def _tree_core(
     terminal_fn,
     ratchet_is_step: bool,
     interpolation: str = "linear",
+    uniform_grids: bool = True,
 ):
     grids = arrays["grids"]  # [N+1, G]
     n = grids.shape[0] - 1
@@ -97,6 +114,7 @@ def _tree_core(
         if interpolation == "cubic"
         else None
     )
+    cont_interp = _cont_interp(interpolation, uniform_grids, cubic_solver)
 
     def backward_step(v_next, x):
         # Expected continuation rows per node (TreeStorageValuation.cs:325-330),
@@ -133,23 +151,14 @@ def _tree_core(
             x["wdr_pcnt"],
             x["inv_cost_rate"],
         )  # [M, G, D]
-        if interpolation == "cubic":
-            # Natural cubic spline in inventory per price node — the
-            # reference's alternative interpolator factory
-            # (NaturalCubicSplineInterpolatorFactory,
-            # InterpolatorFactories/IInterpolatorFactory.cs:33-37; documented
-            # there as occasionally poorly behaved — linear is the default).
-            def cont_row(ev_row):
-                moments = interp.cubic_moments(x["grid_next"], ev_row, cubic_solver)
-                return interp.interp_vector_cubic(
-                    x["grid_next"], ev_row, moments, inv_after
-                )
-
-            cont = jax.vmap(cont_row)(ev)  # [M, G, D]
-        else:
-            cont = jax.vmap(
-                lambda ev_row: interp.interp_vector(x["grid_next"], ev_row, inv_after)
-            )(ev)  # [M, G, D]
+        # Per-node continuation interpolation: linear (the default; general
+        # compare-count form for non-uniform user grids) or natural cubic
+        # (the reference's NaturalCubicSplineInterpolatorFactory,
+        # InterpolatorFactories/IInterpolatorFactory.cs:33-37, documented
+        # there as occasionally poorly behaved).
+        cont = jax.vmap(
+            lambda ev_row: cont_interp(x["grid_next"], ev_row, inv_after)
+        )(ev)  # [M, G, D]
         value = jnp.max(pv + cont, axis=-1)  # [M, G]
         return value, value
 
@@ -195,10 +204,12 @@ def tree_valuation(
         grids = gridmod.inventory_grids_custom(
             inventory_lower, inventory_upper, grid_calc
         )
+        uniform_grids = gridmod.rows_uniform(grids)
     else:
         grids = gridmod.inventory_grids(
             inventory_lower, inventory_upper, num_grid_points
         )
+        uniform_grids = True
     arrays = {
         "grids": jnp.asarray(grids, dtype),
         "lower": jnp.asarray(inventory_lower, dtype),
@@ -232,10 +243,17 @@ def tree_valuation(
         terminal_fn,
         compiled.ratchet_is_step,
         interpolation=interpolation,
+        uniform_grids=uniform_grids,
     ), arrays, tree_arrays
 
 
-@partial(jax.jit, static_argnames=("num_extra_decisions", "terminal_fn", "ratchet_is_step"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_extra_decisions", "terminal_fn", "ratchet_is_step", "interpolation",
+        "uniform_grids",
+    ),
+)
 def simulate_tree_decisions(
     arrays: tp.Dict[str, jnp.ndarray],
     tree: tp.Dict[str, jnp.ndarray],
@@ -245,15 +263,25 @@ def simulate_tree_decisions(
     num_extra_decisions: int,
     terminal_fn,
     ratchet_is_step: bool,
+    interpolation: str = "linear",
+    uniform_grids: bool = True,
 ) -> TreeSimulationResult:
     """Follow a path of branch choices through the tree, at each period taking
     the DP-optimal decision given the visited node and current inventory
-    (TreeStorageValuation.cs:344-433)."""
+    (TreeStorageValuation.cs:344-433).  ``interpolation``/``uniform_grids``
+    must match the valuation that produced ``values`` so the simulator reads
+    the same continuation surface."""
     grids = arrays["grids"]
     n = grids.shape[0] - 1
     m = tree["spot"].shape[1]
     dtype = grids.dtype
     num_decisions = 2 * num_extra_decisions + 3
+    cubic_solver = (
+        interp.natural_cubic_solver(grids.shape[1])
+        if interpolation == "cubic"
+        else None
+    )
+    cont_interp = _cont_interp(interpolation, uniform_grids, cubic_solver)
 
     per_step = {
         "grid_next": grids[1:],
@@ -297,7 +325,7 @@ def simulate_tree_decisions(
         )
         loss = x["loss_pcnt"] * inventory
         inv_after = inventory + decisions - loss
-        cont = interp.interp_vector(x["grid_next"], ev, inv_after)
+        cont = cont_interp(x["grid_next"], ev, inv_after)
         best = jnp.argmax(pv + cont, axis=-1)
         onehot = (best == jnp.arange(num_decisions)).astype(dtype)
         opt_pv = jnp.sum(pv * onehot)

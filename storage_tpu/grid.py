@@ -260,6 +260,20 @@ def inventory_grids_custom(
     return grids
 
 
+def rows_uniform(grids) -> bool:
+    """True when every grid row is evenly spaced (within f32-scale
+    tolerance): such grids keep the engines' fast arithmetic-position
+    interpolation and the fused kernels; anything else routes to the
+    general compare-count interpolation."""
+    g = np.asarray(grids, dtype=np.float64)
+    if g.shape[1] < 3:
+        return True
+    d = np.diff(g, axis=1)
+    span = g[:, -1] - g[:, 0]
+    tol = 1e-6 * np.maximum(1.0, np.abs(span))[:, None]
+    return bool(np.all(np.abs(d - d[:, :1]) <= tol))
+
+
 def inventory_grids_fixed_spacing(
     lower: np.ndarray,
     upper: np.ndarray,

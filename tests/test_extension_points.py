@@ -204,3 +204,23 @@ class TestMixedRatchetInterp:
         same = intrinsic_value(mixed, "2021-01-01", 700.0, fwd, 0.03, None,
                                num_inventory_grid_points=50, dtype=F64)
         assert same.npv == pytest.approx(exact.npv, rel=1e-12)
+
+
+class TestTreeNonUniformGrid:
+    def test_nonuniform_tree_grid_calc_converges(self):
+        """A non-uniform tree grid must use the general interpolation (a
+        uniform-arithmetic lookup on these grids would silently misprice)."""
+        fwd = _market()
+        vol = pd.Series(0.6, index=fwd.index.copy())
+
+        def bottom_heavy(lo, hi):
+            u = np.linspace(0.0, 1.0, 60) ** 2
+            return lo + (hi - lo) * u
+
+        res = trinomial_value(
+            _storage(), "2021-01-01", 700.0, fwd, vol, 10.0, 1.0 / 365,
+            0.03, None, dtype=F64, grid_calc=bottom_heavy)
+        dense = trinomial_value(
+            _storage(), "2021-01-01", 700.0, fwd, vol, 10.0, 1.0 / 365,
+            0.03, None, num_inventory_grid_points=400, dtype=F64)
+        assert res == pytest.approx(dense, rel=2e-3)
