@@ -74,10 +74,13 @@ class BaseConstraint:
     ) -> float:
         raise NotImplementedError
 
-    def table(self, min_inventory: float, max_inventory: float, step_interp_as_linear_nodes: bool = True
+    def table(self, min_inventory: float, max_inventory: float, step_interp_as_linear_nodes: bool = False
               ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
         """Lower the constraint to (inventories, min_rates, max_rates, is_step)
-        for device-side vectorised lookup."""
+        for device-side vectorised lookup.  ``step_interp_as_linear_nodes``
+        asks STEP constraints to lower as staircase linear nodes (used when a
+        facility mixes step and continuous interpolation across periods);
+        continuous constraints ignore it."""
         raise NotImplementedError
 
 
@@ -107,7 +110,7 @@ class ConstantInjectWithdrawConstraint(BaseConstraint):
         lower = (next_lower - self.max_rate) / (1.0 - inventory_pcnt_loss)
         return max(lower, min_inventory)
 
-    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
+    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=False):
         inv = np.array([min_inventory, max_inventory], dtype=np.float64)
         return (
             inv,
@@ -189,7 +192,7 @@ class PiecewiseLinearInjectWithdrawConstraint(BaseConstraint):
             "Storage inventory constraints cannot be satisfied."
         )
 
-    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
+    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=False):
         return self.inventories, self.min_rates, self.max_rates, False
 
 
@@ -437,7 +440,7 @@ class PolynomialInjectWithdrawConstraint(BaseConstraint):
             return int(self._num_table_points)
         return self._adaptive_points(float(lo), float(hi))
 
-    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=True):
+    def table(self, min_inventory, max_inventory, step_interp_as_linear_nodes=False):
         inv = np.linspace(
             min_inventory, max_inventory,
             self._table_points(min_inventory, max_inventory),

@@ -123,6 +123,7 @@ class CmdtyStorage:
                 ratchet_interp,
                 "ratchet_interp parameter should be provided if ratchets parameter is provided.",
             )
+            ratchets = list(ratchets)  # may be a generator; iterated twice below
             any_step = ratchet_interp == RatchetInterp.STEP or any(
                 len(entry) == 3 and entry[2] == RatchetInterp.STEP
                 for entry in ratchets

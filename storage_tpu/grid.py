@@ -233,8 +233,20 @@ def inventory_grids_custom(
     may have different lengths and are padded to a static rectangular width by
     repeating the last point (the engines' interpolation treats zero-span
     segments as their left node — same padding contract as the fixed-spacing
-    scheme).  Points are validated sorted and within [lower, upper]."""
+    scheme).  Points are validated sorted and within [lower, upper].
+
+    ``grid_calc`` may also be a pre-built array [num_periods, G] (or a
+    sequence of per-period point arrays) instead of a callable — the raw
+    user-supplied-grid form of the same extension point."""
     num_periods = len(lower)
+    if not callable(grid_calc):
+        supplied = [np.asarray(row, dtype=np.float64) for row in grid_calc]
+        if len(supplied) != num_periods:
+            raise ValueError(
+                f"grid array must have one row per period ({num_periods}), "
+                f"got {len(supplied)}."
+            )
+        grid_calc = lambda lo, hi, _it=iter(supplied): next(_it)  # noqa: E731
     rows = []
     for t in range(num_periods):
         pts = np.asarray(grid_calc(float(lower[t]), float(upper[t])), dtype=np.float64)

@@ -224,3 +224,26 @@ class TestTreeNonUniformGrid:
             _storage(), "2021-01-01", 700.0, fwd, vol, 10.0, 1.0 / 365,
             0.03, None, num_inventory_grid_points=400, dtype=F64)
         assert res == pytest.approx(dense, rel=2e-3)
+
+
+def test_grid_calc_accepts_raw_arrays():
+    """grid_calc may be a pre-built [num_periods, G] array (the raw
+    user-supplied-grid form of IDoubleStateSpaceGridCalc)."""
+    from storage_tpu.valuation_inputs import prepare_valuation
+    from storage_tpu import grid as gridmod
+
+    fwd = _market()
+    inputs = prepare_valuation(_storage(), "2021-01-01", 700.0, fwd, 0.03, None)
+    n = len(inputs.inventory_lower)
+    raw = np.stack([
+        np.linspace(inputs.inventory_lower[t], inputs.inventory_upper[t], 50)
+        for t in range(n)
+    ])
+    base = intrinsic_value(_storage(), "2021-01-01", 700.0, fwd, 0.03, None,
+                           num_inventory_grid_points=50, dtype=F64)
+    res = intrinsic_value(_storage(), "2021-01-01", 700.0, fwd, 0.03, None,
+                          dtype=F64, grid_calc=raw)
+    assert res.npv == pytest.approx(base.npv, rel=1e-12)
+    with pytest.raises(ValueError, match="one row per period"):
+        gridmod.inventory_grids_custom(
+            inputs.inventory_lower, inputs.inventory_upper, raw[:3])
