@@ -228,6 +228,8 @@ def trinomial_deltas(
     numerical_tolerance: float = 1e-12,
     delta_shift: tp.Optional[float] = None,
     dtype=jnp.float32,
+    interpolation: str = "linear",
+    grid_calc=None,
 ) -> tp.List[float]:
     """Deltas by central finite difference of the tree NPV in the forward
     curve, one bump per contract (reference ``trinomial.py:88-118``).
@@ -252,11 +254,13 @@ def trinomial_deltas(
             cmdty_storage, val_date, inventory, forward_curve + bump, spot_volatility,
             mean_reversion, time_step, interest_rates, settlement_rule,
             num_inventory_grid_points, numerical_tolerance, dtype,
+            interpolation=interpolation, grid_calc=grid_calc,
         )
         value_down = trinomial_value(
             cmdty_storage, val_date, inventory, forward_curve - bump, spot_volatility,
             mean_reversion, time_step, interest_rates, settlement_rule,
             num_inventory_grid_points, numerical_tolerance, dtype,
+            interpolation=interpolation, grid_calc=grid_calc,
         )
         deltas.append((value_up - value_down) / (2.0 * delta_shift))
     return deltas
