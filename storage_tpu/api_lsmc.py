@@ -289,6 +289,7 @@ def value_from_sims_host_local(
     deltas_method: str = "pathwise",
     checkpoint_path: tp.Optional[str] = None,
     pred_passes: int = 2,
+    grid_calc=None,
 ) -> MultiFactorValuationResults:
     """Multi-host ``value_from_sims``: the sim DataFrames are THIS PROCESS's
     block of paths; blocks from all processes form the global panel (process
@@ -324,6 +325,7 @@ def value_from_sims_host_local(
         on_progress_update, SimulationDataReturned.NONE, dtype,
         cancellation_poll=cancellation_poll, deltas_method=deltas_method,
         checkpoint_path=checkpoint_path, pred_passes=pred_passes,
+        grid_calc=grid_calc,
     )
 
 
