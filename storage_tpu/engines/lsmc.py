@@ -82,6 +82,27 @@ def resolve_use_pallas(use_pallas: tp.Optional[bool], num_sims: int, dtype) -> b
     )
 
 
+_FULLSTEP_ENV = "STORAGE_TPU_FULLSTEP"
+
+
+def resolve_fullstep(use_fused_moments: bool, axis_name) -> bool:
+    """Kernel v5 — the ENTIRE backward step (moment standardisation +
+    Cholesky solve + coefficient interpolation + decision update + next
+    moments) as one pallas_call.  Opt-in via STORAGE_TPU_FULLSTEP=1:
+    measured ~2% SLOWER than the v4 kernel + XLA glue on v5e (the glue's
+    small ops overlap with the kernel's DMA pipeline, while an in-kernel
+    tile-0 prologue runs serially — docs/ROOFLINE.md round-4 "kernel v5").
+    Kept as working infrastructure: on hardware where per-op XLA latency is
+    worse, or for a future multi-step-fused scan, flipping the env flag
+    re-enables it.  Single-device only (sharded runs psum the moments
+    between steps, which only the XLA glue can do)."""
+    import os
+
+    if os.environ.get(_FULLSTEP_ENV, "0") not in ("1", "true", "True"):
+        return False
+    return use_fused_moments and axis_name is None
+
+
 def _pmean(x, axis_name):
     if axis_name is None:
         return x
@@ -222,6 +243,7 @@ def _backward_bodies(
     use_pallas: bool,
     snap_interp: bool,
     pred_passes: int,
+    fullstep: bool = False,
 ):
     """Shared backward-step closures for the materialised and streamed scans.
 
@@ -232,6 +254,26 @@ def _backward_bodies(
     ``spot_prev``/``factors_prev`` — previous step's slices, clamped to the
     step itself at t=0)."""
     num_decisions = 2 * num_extra_decisions + 3
+
+    def fullstep_body(carry, x):
+        # Kernel v5 (single-device): the whole step — glue solve + decision
+        # update + next moments — is ONE pallas_call; the scan body has no
+        # XLA math left (docs/ROOFLINE.md round-4 "kernel v5").
+        v_act_next, xtx_u, xty_u, c, s = carry
+        best_act, xtx_n, xty_n, mean, std, coeffs = (
+            decision_kernel.decision_update_fullstep_pallas(
+                v_act_next, x["spot"], x["factors"],
+                x["spot_prev"], x["factors_prev"],
+                xtx_u, xty_u, c, s,
+                x["w_mat"], x["prep_a"].T, x["prep_b"].T,
+                monomials,
+                sim_tile=decision_kernel.pick_sim_tile(x["spot"].shape[0]),
+                pred_passes=pred_passes,
+            )
+        )
+        return (best_act, xtx_n, xty_n, mean, std), {
+            "mean": mean, "std": std, "coeffs": coeffs,
+        }
 
     def fused_body(carry, x):
         # Moments of this step's design matrix (centred/scaled by the NEXT
@@ -258,6 +300,9 @@ def _backward_bodies(
         return (best_act, xtx_next, xty_next, mean, std), {
             "mean": mean, "std": std, "coeffs": coeffs,
         }
+
+    if fullstep:
+        return fullstep_body, None
 
     def plain_body(v_act_next, x):
         # Regression of next-period value on this period's state
@@ -384,10 +429,11 @@ def lsmc_backward(
     # panel instead of two); it needs at least one simulated factor panel to
     # build the design matrix on-tile.
     use_fused_moments = use_pallas and factors_reg.shape[1] > 0
+    fullstep = resolve_fullstep(use_fused_moments, axis_name)
 
     fused_body, plain_body = _backward_bodies(
         monomials, num_extra_decisions, ratchet_is_step, axis_name, use_pallas,
-        snap_interp, pred_passes,
+        snap_interp, pred_passes, fullstep=fullstep,
     )
 
     if use_fused_moments:

@@ -110,6 +110,11 @@ def _sharded_lsmc_jit(
     seg_len: int = 32,
     return_regression: bool = False,
 ):
+    # A 1-device mesh needs no collectives: pass axis_name=None so the
+    # engine's psums drop out (identity on one shard either way) and the
+    # single-device-only kernel-v5 backward can engage.
+    eff_axis = AXIS if mesh.devices.size > 1 else None
+
     def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
         shard = jax.lax.axis_index(AXIS)
         path_ids = shard * s_local + jnp.arange(s_local)
@@ -119,7 +124,7 @@ def _sharded_lsmc_jit(
             return lsmc_engine.lsmc_core_streamed(
                 arrays, sim_inputs, reg_key, val_key, path_ids, inv0,
                 monomials, num_extra_decisions, discount_deltas, terminal_fn,
-                ratchet_is_step, axis_name=AXIS, use_pallas=use_pallas,
+                ratchet_is_step, axis_name=eff_axis, use_pallas=use_pallas,
                 pred_passes=pred_passes, seg_len=seg_len,
                 antithetic=antithetic, same_sims=same_sims,
                 return_regression=return_regression,
@@ -140,7 +145,7 @@ def _sharded_lsmc_jit(
         return lsmc_engine.lsmc_core(
             arrays, reg.spot, reg.factors, val.spot, val.factors, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
-            ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
+            ratchet_is_step, axis_name=eff_axis, return_sim_data=return_sim_data,
             use_pallas=use_pallas, pred_passes=pred_passes,
             return_regression=return_regression,
         )
@@ -294,11 +299,13 @@ def _sharded_from_sims_jit(
     ratchet_is_step, return_sim_data, use_pallas, return_regression=False,
     pred_passes=2, uniform_grids=True,
 ):
+    eff_axis = AXIS if mesh.devices.size > 1 else None
+
     def shard_fn(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0):
         return lsmc_engine.lsmc_core(
             arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
-            ratchet_is_step, axis_name=AXIS, return_sim_data=return_sim_data,
+            ratchet_is_step, axis_name=eff_axis, return_sim_data=return_sim_data,
             use_pallas=use_pallas, return_regression=return_regression,
             pred_passes=pred_passes, uniform_grids=uniform_grids,
         )

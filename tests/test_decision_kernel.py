@@ -167,3 +167,70 @@ def test_fit_continuation_singular_fallback():
         np.asarray(coeffs[0]), np.asarray(y.mean(axis=0)), rtol=1e-6
     )
     np.testing.assert_allclose(np.asarray(coeffs[1:]), 0.0, atol=1e-12)
+
+
+def test_fullstep_kernel_matches_glue_path():
+    """Kernel v5 (in-kernel standardise + Cholesky + coefficient interp,
+    decision_update_fullstep_pallas) reproduces one backward step of the
+    glue + decision_update_moments_pallas composition.  Tolerances cover the
+    in-register solver's different (but equally f32) rounding and the 2-pass
+    coefficient interpolation."""
+    from storage_tpu.basis import parse_basis_functions
+    from storage_tpu.ops.regression import standardise_moments, fit_from_moments
+
+    rng = np.random.default_rng(3)
+    g, s, d, f = 12, 256, 3, 2
+    monomials = tuple(parse_basis_functions("1 + s + x0 + x1 + x0*x1"))
+    b_dim = len(monomials)
+    spot = jnp.asarray(rng.uniform(10.0, 50.0, s), jnp.float32)
+    factors = jnp.asarray(rng.normal(0.0, 1.0, (f, s)), jnp.float32)
+    spot_prev = jnp.asarray(rng.uniform(10.0, 50.0, s), jnp.float32)
+    factors_prev = jnp.asarray(rng.normal(0.0, 1.0, (f, s)), jnp.float32)
+    v_act = _bf16_exact(rng.normal(100.0, 30.0, (g, s)))
+    # Plausible carried raw moments: u-columns of a previous design matrix.
+    u_prev = np.c_[np.ones(s), rng.normal(0.0, 1.0, (s, b_dim - 1))]
+    xtx = jnp.asarray(u_prev.T @ u_prev, jnp.float32)
+    vals = rng.normal(50.0, 10.0, (s, g))
+    xty = jnp.asarray(u_prev.T @ vals, jnp.float32)
+    cmean = jnp.asarray(np.r_[0.0, rng.normal(0.0, 0.2, b_dim - 1)], jnp.float32)
+    cstd = jnp.asarray(np.r_[1.0, rng.uniform(0.5, 2.0, b_dim - 1)], jnp.float32)
+    grid_next = jnp.linspace(0.0, 1000.0, g).astype(jnp.float32)
+    targets = jnp.asarray(rng.uniform(0.0, 1000.0, (g, d)), jnp.float32)
+    idx_lo, w_hi = interp_weights(grid_next, targets)
+    w_hi = decision_kernel.snap_weights(w_hi)
+    w_mat = decision_kernel.interp_weight_matrix(idx_lo, w_hi, g, jnp.float32)
+    a = jnp.asarray(rng.normal(0.0, 2.0, (g, d)), jnp.float32)
+    b = jnp.asarray(rng.normal(0.0, 20.0, (g, d)), jnp.float32)
+
+    # Reference composition: XLA glue then the v4 kernel (interpret mode).
+    m_std, xty_std, mu_u, sig_u = standardise_moments(xtx, xty)
+    mean_ref = cmean + cstd * mu_u
+    std_ref = cstd * sig_u
+    coeffs_ref = fit_from_moments(m_std, xty_std)
+    ci = coeffs_ref[:, idx_lo] * (1 - w_hi) + coeffs_ref[:, idx_lo + 1] * w_hi
+    best_ref, xtx_ref, xty_ref = decision_kernel.decision_update_moments_pallas(
+        v_act, spot, factors, spot_prev, factors_prev, mean_ref, std_ref,
+        w_mat, jnp.transpose(ci, (2, 1, 0)), a.T, b.T, monomials,
+        sim_tile=128, interpret=True,
+    )
+
+    out = decision_kernel.decision_update_fullstep_pallas(
+        v_act, spot, factors, spot_prev, factors_prev, xtx, xty, cmean, cstd,
+        w_mat, a.T, b.T, monomials, sim_tile=128, interpret=True,
+    )
+    best_v5, xtx_v5, xty_v5, mean_v5, std_v5, coeffs_v5 = out
+
+    np.testing.assert_allclose(np.asarray(mean_v5), np.asarray(mean_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(std_v5), np.asarray(std_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(coeffs_v5), np.asarray(coeffs_ref),
+                               rtol=2e-4, atol=2e-3)
+    # Decision values: ties can flip between solver roundings, so compare
+    # the realised values, not element equality.
+    np.testing.assert_allclose(np.asarray(best_v5), np.asarray(best_ref),
+                               rtol=2e-4, atol=1.0)
+    np.testing.assert_allclose(np.asarray(xtx_v5), np.asarray(xtx_ref),
+                               rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(xty_v5), np.asarray(xty_ref),
+                               rtol=2e-3, atol=2.0)
