@@ -905,7 +905,7 @@ def _forward_bodies(
     s_local: int,
     sim_tile: int,
     dtype,
-    fwd_pred_passes: int = 3,
+    fwd_pred_passes: int = 2,
     uniform_grids: bool = True,
 ):
     """Shared forward-step closures (fused Pallas / plain XLA) for the
@@ -1126,7 +1126,7 @@ def lsmc_forward(
     axis_name: tp.Optional[str],
     return_sim_data: bool,
     use_pallas: bool = False,
-    fwd_pred_passes: int = 3,
+    fwd_pred_passes: int = 2,
     uniform_grids: bool = True,
 ):
     """Forward simulation over materialised path panels."""

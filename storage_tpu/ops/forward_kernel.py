@@ -182,7 +182,7 @@ def _forward_kernel(
     num_extra_decisions: int,
     num_ratchet_nodes: int,
     ratchet_is_step: bool,
-    pred_passes: int = 3,
+    pred_passes: int = 2,
 ):
     spot = spot_ref[...]            # [1, St]
     inventory = inv_ref[...]
@@ -196,21 +196,20 @@ def _forward_kernel(
     dm = jnp.concatenate(dm_std, axis=0)  # [B, St]
 
     # Fitted continuation values at every next-period grid point:
-    # pred [G, St] = coeffs_t [G, B] @ dm [B, St].  pred_passes: 3 =
-    # split-precision MXU (~f32); 2 = drop the ct_lo pass (argmax-only
-    # precision — forward mispicks do not compound, unlike backward);
-    # 1 = f32 VPU outer-product accumulation (exact, no K=B→128 MXU padding).
+    # pred [G, St] = coeffs_t [G, B] @ dm [B, St], split-precision MXU
+    # (3 native-bf16 passes ~ f32).  Reduced-pass variants were MEASURED AND
+    # REJECTED (docs/ROOFLINE.md round-4 forward experiments): a
+    # full-magnitude 2-pass loses ~100 SE of NPV, and a row-0-CENTRED 2-pass
+    # loses ~56 SE — unlike the backward's centred DECISION gaps, grid-wide
+    # gaps span the full value range, so bf16 error on them dwarfs the
+    # decision differences the argmax must resolve.  pred_passes: >=2 = the
+    # validated 3-pass; 1 = f32 VPU outer-product accumulation (exact but
+    # slower: the forward kernel is VPU-bound).
     ct = coeffs_t_ref[...]
     if pred_passes >= 2:
         ct_hi, ct_lo = _split_bf16(ct)
         dm_hi, dm_lo = _split_bf16(dm)
-        if pred_passes >= 3:
-            pred = _dot3(ct_hi, ct_lo, dm_hi, dm_lo)  # [G, St]
-        else:
-            pred = (
-                jnp.dot(ct_hi, dm_hi, preferred_element_type=f32)
-                + jnp.dot(ct_hi, dm_lo, preferred_element_type=f32)
-            )
+        pred = _dot3(ct_hi, ct_lo, dm_hi, dm_lo)  # [G, St]
     else:
         pred = ct[:, 0:1] * dm[0:1]
         for bi in range(1, b_dim):
@@ -330,7 +329,7 @@ def forward_step_pallas(
     ratchet_is_step: bool,
     sim_tile: int,
     interpret: bool = False,
-    pred_passes: int = 3,
+    pred_passes: int = 2,
 ):
     """One fused forward step.  Returns (new_inventory [S], new_pv [S],
     opt_decision [S], opt_consumed [S], sums [NUM_SUMS], xbar_sum [B])."""

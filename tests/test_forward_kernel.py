@@ -253,25 +253,36 @@ def test_engine_fused_path_matches_xla_engine():
     # statistical knob validated separately below, not a logic difference).
     import unittest.mock as mock
     from storage_tpu.ops import decision_kernel as dk
+    from storage_tpu.ops import forward_kernel as fk
 
     orig_update = dk.decision_update_pallas
+    orig_fwd = fk.forward_step_pallas
 
     def update_3pass(*args, **kw):
         kw["pred_passes"] = 3
         return orig_update(*args, **kw)
 
+    def fwd_3pass(*args, **kw):
+        kw["pred_passes"] = 3
+        return orig_fwd(*args, **kw)
+
     want = run(use_pallas=False, snap_interp=True)
     with pltpu.force_tpu_interpret_mode():
         with mock.patch.object(
             lsmc_engine.decision_kernel, "decision_update_pallas", update_3pass
+        ), mock.patch.object(
+            lsmc_engine.forward_kernel, "forward_step_pallas", fwd_3pass
         ):
             lsmc_engine.lsmc_core.clear_cache()  # patch is trace-time
             got = run(use_pallas=True)
-        lsmc_engine.lsmc_core.clear_cache()  # retrace with the 2-pass default
+        lsmc_engine.lsmc_core.clear_cache()  # retrace with the 2-pass defaults
         got_2pass = run(use_pallas=True)
 
-    # The 2-pass default must stay statistically indistinguishable: within a
-    # fraction of the MC standard error even at this tiny sim count.
+    # The 2-pass defaults (backward centred-gap pred AND the forward's
+    # centred 2-pass pred — the hat rows sum to 1, so centring shifts every
+    # decision's continuation equally and only near-tie argmax picks can
+    # flip) must stay statistically indistinguishable: within a fraction of
+    # the MC standard error even at this tiny sim count.
     assert float(got_2pass["npv"]) == pytest.approx(
         float(got["npv"]), abs=0.5 * float(got["standard_error"])
     )
