@@ -86,7 +86,7 @@ def _market():
 
 
 class TestEndToEnd:
-    """Adaptive-table valuations agree with a near-exact 4097-point table
+    """Adaptive-table valuations agree with a near-exact 1025-point table
     (pure-XLA CPU paths handle any width) to far below MC/grid resolution."""
 
     def test_intrinsic_polynomial_facility(self):
@@ -96,7 +96,7 @@ class TestEndToEnd:
             num_inventory_grid_points=60, dtype=F64,
         )
         dense = intrinsic_value(
-            _poly_storage(num_table_points=4097), "2021-01-01", 700.0, fwd,
+            _poly_storage(num_table_points=1025), "2021-01-01", 700.0, fwd,
             0.03, None, num_inventory_grid_points=60, dtype=F64,
         )
         assert np.isfinite(res.npv) and res.npv > 0
@@ -113,7 +113,7 @@ class TestEndToEnd:
             factors, None, 128, "1 + s + x0", False, **kwargs,
         )
         dense = multi_factor_value(
-            _poly_storage(num_table_points=4097), "2021-01-01", 700.0, fwd,
+            _poly_storage(num_table_points=1025), "2021-01-01", 700.0, fwd,
             0.03, None, factors, None, 128, "1 + s + x0", False, **kwargs,
         )
         assert np.isfinite(res.npv)
