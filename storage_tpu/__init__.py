@@ -66,7 +66,7 @@ from .results import (
     TriggerPrices,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "CmdtyStorage",
