@@ -668,7 +668,7 @@ def lsmc_backward_streamed(
     use_pallas: bool = False,
     snap_interp: tp.Optional[bool] = None,
     pred_passes: int = 2,
-    seg_len: int = 32,
+    seg_len: int = 16,
     antithetic: bool = False,
     remat: bool = False,
 ):
@@ -1172,7 +1172,7 @@ def lsmc_forward_streamed(
     use_pallas: bool = False,
     antithetic: bool = False,
     remat: bool = False,
-    seg_len: int = 32,
+    seg_len: int = 16,
 ):
     """Forward simulation with in-scan path regeneration: the scan carries the
     OU factor state and prices each step on the fly, so no [N, S] valuation
@@ -1364,7 +1364,7 @@ def lsmc_core_streamed(
     return_regression: bool = False,
     snap_interp: tp.Optional[bool] = None,
     pred_passes: int = 2,
-    seg_len: int = 32,
+    seg_len: int = 16,
     antithetic: bool = False,
     same_sims: bool = False,
 ) -> tp.Dict[str, jnp.ndarray]:
@@ -1490,7 +1490,7 @@ def lsmc_npv_and_ad_deltas_streamed(
     terminal_fn,
     ratchet_is_step: bool,
     axis_name: tp.Optional[str] = None,
-    seg_len: int = 32,
+    seg_len: int = 16,
     antithetic: bool = False,
     same_sims: bool = False,
     use_pallas: bool = False,

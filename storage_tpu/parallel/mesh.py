@@ -107,7 +107,7 @@ def _sharded_lsmc_jit(
     use_pallas: bool,
     pred_passes: int = 2,
     stream: bool = False,
-    seg_len: int = 32,
+    seg_len: int = 16,
     return_regression: bool = False,
 ):
     # A 1-device mesh needs no collectives: pass axis_name=None so the
@@ -203,7 +203,7 @@ def sharded_lsmc_core(
     use_pallas: tp.Optional[bool] = None,
     pred_passes: int = 2,
     stream: tp.Optional[bool] = None,
-    seg_len: int = 32,
+    seg_len: int = 16,
     return_regression: bool = False,
 ):
     """LSMC with paths sharded over ``mesh``; returns the engine result dict
@@ -433,7 +433,7 @@ def lsmc_core_from_sims(
 def _sharded_ad_deltas_jit(
     arrays, sim_inputs, reg_key, val_key, inv0,
     *, mesh, s_local, monomials, num_extra_decisions, discount_deltas,
-    terminal_fn, ratchet_is_step, seg_len=32, antithetic=False,
+    terminal_fn, ratchet_is_step, seg_len=16, antithetic=False,
     same_sims=False, use_pallas=False,
 ):
     def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
@@ -475,7 +475,7 @@ def sharded_ad_deltas(
     discount_deltas: bool,
     terminal_fn,
     ratchet_is_step: bool,
-    seg_len: int = 32,
+    seg_len: int = 16,
     antithetic: bool = False,
     same_sims: bool = False,
 ):
