@@ -1134,7 +1134,7 @@ def lsmc_forward(
     n = grids.shape[0] - 1
     dtype = grids.dtype
     s_local = spot_val.shape[1]
-    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    sim_tile = forward_kernel.pick_fwd_sim_tile(s_local)
     fused = _resolve_forward_fused(use_pallas, return_sim_data, dtype, sim_tile)
 
     per_step = _forward_per_step(arrays, regression, fused)
@@ -1186,7 +1186,7 @@ def lsmc_forward_streamed(
     dtype = grids.dtype
     s_local = stream.path_ids.shape[0]
     f = stream.decay.shape[1]
-    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    sim_tile = forward_kernel.pick_fwd_sim_tile(s_local)
     fused = _resolve_forward_fused(use_pallas, False, dtype, sim_tile)
 
     per_step = _forward_per_step(arrays, regression, fused)
@@ -1676,7 +1676,7 @@ def _forward_segment_chunk_jit(
 ):
     s_local = stream.path_ids.shape[0]
     dtype = carry[0].dtype
-    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    sim_tile = forward_kernel.pick_fwd_sim_tile(s_local)
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, False, s_local, sim_tile, dtype,
@@ -1795,7 +1795,7 @@ def lsmc_core_streamed_chunked(
 
     # ---- forward, segments in time order.
     fwd_fused = _resolve_forward_fused(
-        use_pallas, False, dtype, decision_kernel.pick_sim_tile(s_local)
+        use_pallas, False, dtype, forward_kernel.pick_fwd_sim_tile(s_local)
     )
     fper = _forward_per_step(arrays, regression, fwd_fused)
     fper.update(_stream_step_arrays(val_stream, n))
@@ -1900,7 +1900,7 @@ def _forward_segment_chunk_mat_jit(
     del antithetic
     s_local = carry[0].shape[0]
     dtype = carry[0].dtype
-    sim_tile = decision_kernel.pick_sim_tile(s_local)
+    sim_tile = forward_kernel.pick_fwd_sim_tile(s_local)
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, return_sim_data, s_local, sim_tile, dtype,
@@ -2009,7 +2009,7 @@ def lsmc_core_chunked(
     v0 = carry[0] if fused else carry
 
     fwd_fused = _resolve_forward_fused(
-        use_pallas, return_sim_data, dtype, decision_kernel.pick_sim_tile(s_local)
+        use_pallas, return_sim_data, dtype, forward_kernel.pick_fwd_sim_tile(s_local)
     )
     fper = _forward_per_step(arrays, regression, fwd_fused)
     fper["spot"] = spot_val[:n]

@@ -38,6 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .decision_kernel import _split_bf16, _dot3, pick_sim_tile
 
+# The forward kernel's VMEM working set is smaller than the backward's
+# (no [G, G] hat operators or coefficient panels resident), so a 4096-wide
+# sim tile fits and measured fastest on v5e (147.7 / 156.0 / 170.2 ms at
+# 4096 / 2048 / 1024, bench config, round 4).
+_FWD_TILE_CANDIDATES = (4096, 2048, 1024, 512, 256, 128)
+
+
+def pick_fwd_sim_tile(num_sims: int) -> int:
+    for t in _FWD_TILE_CANDIDATES:
+        if num_sims % t == 0:
+            return t
+    return 0
+
 # Scalar parameter slots (SMEM vector layout).
 _P_DF_SETTLE = 0
 _P_DF_FLOW = 1
