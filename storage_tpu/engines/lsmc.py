@@ -391,8 +391,8 @@ def lsmc_backward(
     defaults to ``use_pallas`` so the XLA path can be run on the identical
     quadrature for equivalence testing.  ``pred_passes`` selects the number of
     split-precision MXU passes for the regressed-gap matmul in the Pallas
-    kernels (2 = default, 3 = validated fallback; see
-    ops/decision_kernel._kernel)."""
+    kernels (2 = centred-gap default, 3 = validated fallback, 1 = exact f32
+    VPU accumulation; see ops/decision_kernel._kernel)."""
     if snap_interp is None:
         snap_interp = use_pallas
     elif use_pallas and not snap_interp:
