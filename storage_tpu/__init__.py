@@ -34,6 +34,8 @@ from .api_lsmc import (
 from .basis import (
     parse_basis_functions,
     BasisFunctionList,
+    GenericBasisFunction,
+    generic,
     MonomialBuilder,
     ONE,
     S,
@@ -99,6 +101,8 @@ __all__ = [
     "InjectWithdrawRangeByInventoryAndPeriod",
     "log_linear_discount_factors",
     "parse_basis_functions",
+    "GenericBasisFunction",
+    "generic",
     "BasisFunctionList",
     "MonomialBuilder",
     "ONE", "S", "X",

@@ -379,12 +379,19 @@ def _host_stream_panels(spot_reg, factors_reg, dtype) -> bool:
     """True when materialising the sim panels on device would exceed the
     streaming threshold (parallel.mesh.STREAM_THRESHOLD_BYTES) — the panels
     then stay host-side numpy and the chunked driver segment-feeds them.
-    Multi-process runs shard panels across hosts instead."""
+    Multi-process runs shard panels across hosts instead.
+
+    The gate is PER-DEVICE footprint (matching the internally-simulated
+    auto-select in parallel/mesh.py): the sharded materialised path splits
+    the panels over the local devices, so a multi-chip host only needs
+    host-streaming when a single shard would still blow the threshold."""
     if jax.process_count() > 1:
         return False
     from .parallel.mesh import STREAM_THRESHOLD_BYTES
 
-    return _panel_gb(spot_reg, factors_reg, dtype) * 2**30 > STREAM_THRESHOLD_BYTES
+    n_dev = len(jax.devices())
+    per_device = _panel_gb(spot_reg, factors_reg, dtype) * 2**30 / n_dev
+    return per_device > STREAM_THRESHOLD_BYTES
 
 
 def _lsmc_calc(
@@ -468,6 +475,15 @@ def _lsmc_calc(
             on_progress_update(x)
 
     monomials = tuple(basis_mod.coerce_basis_functions(basis_funcs))
+    if basis_mod.has_generic(monomials):
+        # The fused Pallas kernels evaluate monomial columns on-tile and
+        # cannot call back into user Python; generic basis functions run the
+        # (identical-result) XLA engine path (BasisFunctions.cs:92 analog).
+        logger.info(
+            "Generic basis function(s) present (%s): valuation uses the XLA "
+            "engine path instead of the fused Pallas kernels.",
+            ", ".join(str(m) for m in monomials if isinstance(m, basis_mod.GenericBasisFunction)),
+        )
     stopwatches = Stopwatches()
     with stopwatches.time("prepare_inputs"):
         inputs = prepare_valuation(

@@ -28,6 +28,65 @@ class Monomial(tp.NamedTuple):
         return " * ".join(parts) if parts else "1"
 
 
+class GenericBasisFunction:
+    """A user-supplied basis function (reference ``BasisFunction.cs:30`` /
+    ``BasisFunctions.Generic``, ``BasisFunctions.cs:92``): any callable
+    ``fn(spot, factors) -> column`` writing one design-matrix column, where
+    ``spot`` is the [S] simulated spot vector for one period and ``factors``
+    the [F, S] simulated Markov factors.  The callable must be jnp-traceable
+    (it runs under jit); it may return shape [S] or anything broadcastable
+    to it (e.g. a scalar for a constant column).
+
+    ``num_factors`` declares how many factors the callable reads (validated
+    against the simulated factor count like monomial factor indices are);
+    ``label`` names the function in reprs/errors.
+
+    Generic entries compare (and hash) by identity, so repeated-monomial
+    validation and jit static-arg caching behave naturally.  Valuations
+    containing a generic basis function run on the XLA engine path — the
+    fused Pallas kernels evaluate monomials on-tile and cannot call back
+    into Python-defined columns (api_lsmc logs the fallback).
+    """
+
+    __slots__ = ("fn", "num_factors", "label")
+
+    def __init__(self, fn: tp.Callable, num_factors: int = 0,
+                 label: tp.Optional[str] = None):
+        if not callable(fn):
+            raise TypeError("GenericBasisFunction requires a callable.")
+        if num_factors < 0:
+            raise ValueError("num_factors must be non-negative.")
+        self.fn = fn
+        self.num_factors = int(num_factors)
+        self.label = label or getattr(fn, "__name__", "generic")
+
+    def __call__(self, spot, factors):
+        return self.fn(spot, factors)
+
+    def __repr__(self) -> str:
+        return f"GenericBasisFunction({self.label})"
+
+    def __str__(self) -> str:
+        return self.label
+
+    def __add__(self, other) -> "BasisFunctionList":
+        return BasisFunctionList([self]) + other
+
+    def __radd__(self, other) -> "BasisFunctionList":
+        return _as_monomial_list(other) + BasisFunctionList([self])
+
+
+def generic(fn: tp.Callable, num_factors: int = 0,
+            label: tp.Optional[str] = None) -> GenericBasisFunction:
+    """Wrap a callable as a basis function (BasisFunctions.Generic analog)."""
+    return GenericBasisFunction(fn, num_factors, label)
+
+
+def has_generic(basis_entries: tp.Sequence) -> bool:
+    """True when any basis entry is a user callable (forces the XLA path)."""
+    return any(isinstance(m, GenericBasisFunction) for m in basis_entries)
+
+
 _TOKEN_RE = re.compile(r"^(?:(?P<one>1)|(?P<spot>[sS])|x(?P<factor>\d+))(?:\*\*(?P<power>\d+))?$")
 
 # Factor aliases used by three_factor_seasonal_value (multi_factor.py:125-126).
@@ -94,9 +153,12 @@ def _split_product(monomial: str) -> tp.List[str]:
     return parts
 
 
-def num_factors_required(monomials: tp.Sequence[Monomial]) -> int:
+def num_factors_required(monomials: tp.Sequence) -> int:
     highest = -1
     for m in monomials:
+        if isinstance(m, GenericBasisFunction):
+            highest = max(highest, m.num_factors - 1)
+            continue
         for idx, _ in m.factor_powers:
             highest = max(highest, idx)
     return highest + 1
@@ -122,6 +184,10 @@ def design_matrix(monomials: tp.Sequence[Monomial], spot, factors):
     """
     cols = []
     for m in monomials:
+        if isinstance(m, GenericBasisFunction):
+            cols.append(jnp.broadcast_to(jnp.asarray(m(spot, factors), spot.dtype),
+                                         spot.shape))
+            continue
         col = jnp.ones_like(spot)
         if m.spot_power:
             col = col * _ipow(spot, m.spot_power)
@@ -204,12 +270,16 @@ def _as_monomial_list(value) -> BasisFunctionList:
         return value
     if isinstance(value, MonomialBuilder):
         return BasisFunctionList([value.monomial])
-    if isinstance(value, Monomial):
+    if isinstance(value, (Monomial, GenericBasisFunction)):
         return BasisFunctionList([value])
+    if isinstance(value, (list, tuple)) and all(
+        isinstance(m, (Monomial, GenericBasisFunction)) for m in value
+    ):
+        return BasisFunctionList(list(value))
+    if callable(value):  # bare callables wrap as generic basis functions
+        return BasisFunctionList([GenericBasisFunction(value)])
     if value == 1:  # the constant term: `1 + S + ...`
         return BasisFunctionList([Monomial(0, ())])
-    if isinstance(value, (list, tuple)) and all(isinstance(m, Monomial) for m in value):
-        return BasisFunctionList(list(value))
     raise TypeError(f"Cannot use {value!r} as a basis function term.")
 
 
@@ -241,7 +311,9 @@ def markov_factor_power(factor_index: int, power: int) -> MonomialBuilder:
 
 def coerce_basis_functions(value) -> tp.List[Monomial]:
     """Accept the string DSL, a combinator expression (`ONE + S + X0**2`), a
-    single atom, or a pre-built Monomial list; returns the Monomial list."""
+    single atom, a user callable / GenericBasisFunction (mixable with
+    monomials in a list or `+`-sum), or a pre-built Monomial list; returns
+    the basis-entry list."""
     if isinstance(value, str):
         return parse_basis_functions(value)
     monomials = list(_as_monomial_list(value))

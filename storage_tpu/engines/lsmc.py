@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import grid as gridmod
-from ..basis import Monomial, design_matrix
+from ..basis import Monomial, design_matrix, has_generic
 from ..facility import CompiledStorage
 from ..ops import interp
 from ..ops import decision_kernel
@@ -1300,6 +1300,7 @@ def lsmc_core(
     pred_passes: int = 2,
     uniform_grids: bool = True,
 ) -> tp.Dict[str, jnp.ndarray]:
+    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     if not uniform_grids:
         # The fused Pallas kernels compute grid positions arithmetically
         # (uniform spacing); non-uniform user grids take the general-interp
@@ -1374,6 +1375,7 @@ def lsmc_core_streamed(
     Dual-sim estimator as in ``lsmc_core``: ``reg_key`` drives the backward
     regression sims, ``val_key`` the independent forward valuation sims
     (``same_sims`` reuses the regression stream)."""
+    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     reg_stream = StreamedSims(
         decay=sim_inputs["decay"], chol=sim_inputs["chol"],
         vols=sim_inputs["vols"], half_var=sim_inputs["half_var"],
@@ -1441,6 +1443,7 @@ def lsmc_npv_and_ad_deltas(
     the gradient-dead argmax, so it is ``stop_gradient``-ed) — which both
     shrinks the tape and lets it use the fused Pallas kernel on TPU.
     """
+    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     fwd = arrays["fwd"]
     spot_reg = fwd[:, None] * stoch_reg
     v0, regression = lsmc_backward(
@@ -1516,6 +1519,7 @@ def lsmc_npv_and_ad_deltas_streamed(
     backward pass may use the Pallas kernels (no gradient flows through it);
     the differentiated forward sweep always runs the XLA body (Pallas
     defines no VJP)."""
+    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
     fwd = sim_inputs["fwd"]
 
@@ -1730,6 +1734,7 @@ def lsmc_core_streamed_chunked(
     forward passes.  Raising from the callback aborts the valuation between
     segments (cooperative cancellation with ≤ seg_len steps of latency).
     Single-process, non-collective execution (``axis_name=None``)."""
+    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     if snap_interp is None:
         snap_interp = use_pallas
     grids = arrays["grids"]
@@ -1936,6 +1941,7 @@ def lsmc_core_chunked(
     every ``seg_len``-step segment of both passes, and raising from the
     callback aborts between segments.  Single-process, non-collective
     execution (``axis_name=None``)."""
+    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     if not uniform_grids:
         use_pallas = False  # general-interp XLA path (see lsmc_core)
     if snap_interp is None:

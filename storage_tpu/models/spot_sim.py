@@ -36,9 +36,11 @@ _RNG_PALLAS_ENV = "STORAGE_TPU_RNG_PALLAS"
 
 
 def resolve_rng_pallas(use_pallas: tp.Optional[bool], dtype, num_paths: int) -> bool:
-    """Auto-enable the fused Pallas draw kernel (ops/rng_kernel) on TPU f32
-    workloads whose path count tiles onto lanes; CPU tests / f64 validation /
-    ragged path counts keep the pure-XLA pipeline (bit-identical values)."""
+    """Resolve whether the Pallas draw kernel (ops/rng_kernel) runs: OFF by
+    default (perf-neutral, see below), opt-in via ``STORAGE_TPU_RNG_PALLAS=1``
+    on TPU f32 workloads whose path count tiles onto lanes; CPU tests / f64
+    validation / ragged path counts always keep the pure-XLA pipeline
+    (bit-identical values)."""
     import os
 
     if use_pallas is not None:
@@ -204,9 +206,10 @@ def draw_normal_halves(
     ``step_z_from_halves`` (4 small row reads instead of relayouting the
     whole ~GB panel, measured ~10 ms per 262k-path sweep).
 
-    On TPU f32 the draw runs in the fused Pallas kernel (ops/rng_kernel):
-    counters from iota in registers, hash + inverse-normal on-tile, HBM
-    traffic = output bytes only.  Values are bit-identical either way
+    With ``STORAGE_TPU_RNG_PALLAS=1`` (env-gated opt-in, default OFF —
+    measured perf-neutral vs XLA's fused lowering) TPU f32 draws run in the
+    fused Pallas kernel (ops/rng_kernel): counters from iota in registers,
+    hash + inverse-normal on-tile.  Values are bit-identical either way
     (tests/test_rng_kernel.py)."""
     assert jnp.dtype(dtype) != jnp.float64
     ids = (path_ids // 2 if antithetic else path_ids).astype(jnp.uint32)

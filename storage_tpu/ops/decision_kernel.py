@@ -139,9 +139,9 @@ def _kernel(v_ref, dm_ref, spot_ref, w_ref, dci_ref, a_ref, b_ref, out_ref,
         # inventories.  Drives the decision ARGMAX on a lower-bound estimator:
         # full-magnitude single-pass bf16 biased NPV down ~1.4% (misselected
         # decisions only ever lose value); the centred gap keeps error scaled
-        # by the gap itself.  pred_passes: 1 (default) = f32 VPU outer-product
-        # accumulation (exact, and frees the MXU for the hat matmuls);
-        # 2/3 = the validated split-precision MXU variants.
+        # by the gap itself.  pred_passes: 2 (default) = centred-gap
+        # split-precision MXU; 3 = validated 3-pass fallback; 1 = exact f32
+        # VPU outer-product accumulation (frees the MXU, measured e2e-neutral).
         if pred_passes >= 3:
             dci_hi, dci_lo = _split_bf16(dci_ref[d])
             q = _dot3(dci_hi, dci_lo, dm_hi, dm_lo)  # [G, St]

@@ -230,7 +230,7 @@ def sharded_lsmc_core(
     s_local = num_sims // n_dev
     resolved_pallas = lsmc_engine.resolve_use_pallas(
         use_pallas, s_local, arrays["grids"].dtype
-    )
+    ) and not lsmc_engine.has_generic(monomials)
     if stream is None:
         n_steps = arrays["grids"].shape[0] - 1
         footprint = _panel_bytes(
@@ -408,7 +408,7 @@ def lsmc_core_from_sims(
     s_local = num_sims // mesh.devices.size
     resolved_pallas = lsmc_engine.resolve_use_pallas(
         use_pallas, s_local, arrays["grids"].dtype
-    )
+    ) and not lsmc_engine.has_generic(monomials)
     _log_execution(mesh, resolved_pallas, num_sims)
     return _sharded_from_sims_jit(
         arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
