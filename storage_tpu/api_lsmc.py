@@ -580,6 +580,7 @@ def _lsmc_calc(
             "the callbacks to use the sharded path (phase-boundary progress "
             "only).", len(jax.devices())
         )
+    host_stream_used = False
     with stopwatches.time("lsmc_backward_forward"):
         if use_stream and interactive:
             # Host-chunked streamed execution: the scans run in 16-step
@@ -648,16 +649,11 @@ def _lsmc_calc(
             num_sims = spot_reg.shape[1]
             host_stream = _host_stream_panels(spot_reg, factors_reg, dtype)
             if host_stream:
+                host_stream_used = True
                 if wants_sim_data or wants_path_panels:
                     raise ValueError(
                         "sim_data_returned panels do not fit device memory at "
                         "this path count; pass SimulationDataReturned.NONE."
-                    )
-                if deltas_method == "adjoint":
-                    raise NotImplementedError(
-                        "deltas_method='adjoint' over host-streamed user "
-                        "panels is not implemented; use the default pathwise "
-                        "deltas."
                     )
                 logger.info(
                     "LSMC execution: user panels host-streamed in segments "
@@ -680,7 +676,8 @@ def _lsmc_calc(
                 ),
                 pred_passes=int(pred_passes),
                 return_sim_data=wants_sim_data,
-                return_regression=checkpoint_path is not None,
+                return_regression=checkpoint_path is not None
+                or (deltas_method == "adjoint" and host_stream),
                 segment_cb=segment_cb if interactive else None,
                 uniform_grids=uniform_grids,
             )
@@ -696,23 +693,26 @@ def _lsmc_calc(
                 uniform_grids=uniform_grids,
             )
         result = {k: np.asarray(v) for k, v in result.items() if v is not None}
-    if checkpoint_path is not None:
-        # Persist the backward->forward hand-off so later forward-only
-        # re-pricings skip the backward induction (checkpoint.py; the
-        # artifact the reference keeps in-memory in regressCoeffsBuilder,
-        # LsmcStorageValuation.cs:159,360).  The payload is replicated after
-        # the moments psum, so in multi-process runs only rank 0 writes —
-        # concurrent writes to a shared path would corrupt the npz.
-        from .checkpoint import make_checkpoint
-
-        regression = {
+    # Backward->forward regression payload (the artifact the reference keeps
+    # in regressCoeffsBuilder, LsmcStorageValuation.cs:159,360): consumed by
+    # checkpoints and by the host-streamed adjoint sweep.
+    regression_payload = None
+    if "regression_mean" in result:
+        regression_payload = {
             "mean": result.pop("regression_mean"),
             "std": result.pop("regression_std"),
             "coeffs": result.pop("regression_coeffs"),
         }
+    if checkpoint_path is not None:
+        # Persist the hand-off so later forward-only re-pricings skip the
+        # backward induction (checkpoint.py).  The payload is replicated
+        # after the moments psum, so in multi-process runs only rank 0
+        # writes — concurrent writes to a shared path would corrupt the npz.
+        from .checkpoint import make_checkpoint
+
         if jax.process_index() == 0:
             make_checkpoint(
-                {k: np.asarray(v) for k, v in arrays.items()}, regression,
+                {k: np.asarray(v) for k, v in arrays.items()}, regression_payload,
                 basis_funcs, inputs.starting_inventory, int(extra_decisions or 0),
                 bool(discount_deltas), inputs.compiled.ratchet_is_step,
                 must_be_empty_at_end=terminal_fn is None,
@@ -721,13 +721,6 @@ def _lsmc_calc(
         # One reverse-mode sweep through the whole valuation; replaces the
         # pathwise delta series (NPV itself is unchanged: same sims, same
         # policy).
-        if jax.process_count() > 1 and not use_stream:
-            raise NotImplementedError(
-                "deltas_method='adjoint' over user-supplied multi-host panels "
-                "is not implemented; in multi-host runs over user sims use "
-                "the default pathwise deltas (identical under the "
-                "multi-factor model)."
-            )
         logger.info("Calculating adjoint (AD) deltas.")
         with stopwatches.time("adjoint_deltas"):
             if use_stream:
@@ -757,12 +750,35 @@ def _lsmc_calc(
                     terminal_fn, inputs.compiled.ratchet_is_step,
                     antithetic=antithetic, same_sims=same_sims,
                 )
+            elif jax.process_count() > 1:
+                # Multi-host user panels (value_from_sims_host_local): the
+                # panels are global path-sharded arrays; backward with psum'd
+                # moments, collective-free per-shard forward grad, explicit
+                # pmean (parallel.mesh.sharded_ad_deltas_from_sims).
+                from .parallel import distributed as dist
+                from .parallel import mesh as pmesh
+
+                _npv_ad, deltas_ad = pmesh.sharded_ad_deltas_from_sims(
+                    arrays, spot_reg, factors_reg, spot_val, factors_val,
+                    inputs.starting_inventory, monomials,
+                    int(extra_decisions or 0), bool(discount_deltas),
+                    terminal_fn, inputs.compiled.ratchet_is_step,
+                    mesh=dist.global_mesh(), uniform_grids=uniform_grids,
+                )
+            elif host_stream_used:
+                # Host-resident panels too large for device memory: the
+                # gradient decomposes over path chunks once the regression
+                # payload (from the host-chunked backward above) is fixed —
+                # value_and_grad per device-sized chunk, averaged
+                # (lsmc_ad_deltas_path_chunked).
+                _npv_ad, deltas_ad = lsmc_engine.lsmc_ad_deltas_path_chunked(
+                    arrays, regression_payload, spot_val, factors_val,
+                    inputs.starting_inventory, monomials,
+                    int(extra_decisions or 0), bool(discount_deltas),
+                    terminal_fn, inputs.compiled.ratchet_is_step,
+                    uniform_grids=uniform_grids,
+                )
             else:
-                if not uniform_grids:
-                    raise NotImplementedError(
-                        "deltas_method='adjoint' with a non-uniform grid_calc "
-                        "is not implemented; use the default pathwise deltas."
-                    )
                 fwd_dev = arrays["fwd"]
                 _npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
                     arrays,
@@ -774,6 +790,7 @@ def _lsmc_calc(
                     use_pallas=lsmc_engine.resolve_use_pallas(
                         None, spot_reg.shape[1], arrays["grids"].dtype
                     ),
+                    uniform_grids=uniform_grids,
                 )
             result["deltas"] = np.asarray(deltas_ad)
     logger.info(

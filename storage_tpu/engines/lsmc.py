@@ -1405,7 +1405,7 @@ def lsmc_core_streamed(
     jax.jit,
     static_argnames=(
         "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
-        "ratchet_is_step", "axis_name", "use_pallas",
+        "ratchet_is_step", "axis_name", "use_pallas", "uniform_grids",
     ),
 )
 def lsmc_npv_and_ad_deltas(
@@ -1422,6 +1422,7 @@ def lsmc_npv_and_ad_deltas(
     ratchet_is_step: bool,
     axis_name: tp.Optional[str] = None,
     use_pallas: bool = False,
+    uniform_grids: bool = True,
 ):
     """NPV and deltas by automatic differentiation through the valuation.
 
@@ -1443,14 +1444,36 @@ def lsmc_npv_and_ad_deltas(
     the gradient-dead argmax, so it is ``stop_gradient``-ed) — which both
     shrinks the tape and lets it use the fused Pallas kernel on TPU.
     """
-    use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
+    use_pallas = (
+        use_pallas and uniform_grids and not has_generic(monomials)
+    )  # generic basis / non-uniform grids -> XLA path
     fwd = arrays["fwd"]
     spot_reg = fwd[:, None] * stoch_reg
     v0, regression = lsmc_backward(
         arrays, spot_reg, factors_reg, monomials, num_extra_decisions,
         terminal_fn, ratchet_is_step, axis_name, use_pallas=use_pallas,
+        uniform_grids=uniform_grids,
     )
     regression = jax.tree.map(jax.lax.stop_gradient, regression)
+    npv, grad_fwd = _forward_value_and_grad(
+        arrays, regression, stoch_val, factors_val, starting_inventory,
+        monomials, num_extra_decisions, terminal_fn, ratchet_is_step,
+        axis_name, uniform_grids=uniform_grids,
+    )
+    return _undiscount_deltas(arrays, npv, grad_fwd, discount_deltas)
+
+
+def _forward_value_and_grad(
+    arrays, regression, stoch_val, factors_val, starting_inventory, monomials,
+    num_extra_decisions, terminal_fn, ratchet_is_step, axis_name,
+    uniform_grids: bool = True,
+):
+    """``(npv, d npv / d fwd)`` of the forward pass with a FIXED (already
+    ``stop_gradient``-ed) regression payload: the shared adjoint core for
+    the materialised, path-chunked, and mesh-sharded sweeps.  The general
+    (non-uniform-grid) interpolation path is searchsorted + gather — fully
+    differentiable, so ``uniform_grids=False`` composes."""
+    fwd = arrays["fwd"]
 
     def npv_of_fwd(fwd_v):
         arr = dict(arrays)
@@ -1459,17 +1482,91 @@ def lsmc_npv_and_ad_deltas(
         result = lsmc_forward(
             arr, spot_val, factors_val, regression, starting_inventory,
             monomials, num_extra_decisions, False, terminal_fn,
-            ratchet_is_step, axis_name, False,
+            ratchet_is_step, axis_name, False, uniform_grids=uniform_grids,
         )
         return result["npv"]
 
-    npv, grad_fwd = jax.value_and_grad(npv_of_fwd)(fwd)
+    return jax.value_and_grad(npv_of_fwd)(fwd)
+
+
+def _undiscount_deltas(arrays, npv, grad_fwd, discount_deltas: bool):
     if discount_deltas:
         # value_and_grad discounts to the valuation date already.
         return npv, grad_fwd
     # The reference's DiscountDeltas=False divides the discount back out.
+    fwd = arrays["fwd"]
     df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
     return npv, grad_fwd / df
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "monomials", "num_extra_decisions", "terminal_fn", "ratchet_is_step",
+        "uniform_grids",
+    ),
+)
+def _forward_ad_chunk_jit(
+    arrays, regression, spot_val_chunk, factors_val_chunk, starting_inventory,
+    monomials, num_extra_decisions, terminal_fn, ratchet_is_step,
+    uniform_grids: bool = True,
+):
+    """One path chunk of the host-fed adjoint sweep: reconstruct the
+    stochastic part, differentiate the forward pass, return the chunk's
+    (npv, grad) pair."""
+    stoch_val = spot_val_chunk / arrays["fwd"][:, None]
+    return _forward_value_and_grad(
+        arrays, regression, stoch_val, factors_val_chunk, starting_inventory,
+        monomials, num_extra_decisions, terminal_fn, ratchet_is_step,
+        None, uniform_grids=uniform_grids,
+    )
+
+
+def lsmc_ad_deltas_path_chunked(
+    arrays: tp.Dict[str, jnp.ndarray],
+    regression: tp.Dict[str, np.ndarray],  # mean/std/coeffs from the backward
+    spot_val: np.ndarray,      # [N+1, S] HOST numpy valuation spot panel
+    factors_val: np.ndarray,   # [N+1, F, S] HOST numpy
+    starting_inventory,
+    monomials: tp.Tuple[Monomial, ...],
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    uniform_grids: bool = True,
+    chunk_sims: int = 65536,
+):
+    """Adjoint deltas over HOST-RESIDENT user panels too large for device
+    memory (the ``value_from_sims`` host-streamed scale): the NPV is a mean
+    over sims and the regression payload is fixed, so the gradient decomposes
+    over path chunks — run ``value_and_grad`` of the forward pass per
+    device-sized chunk fed from numpy, and average.  Memory is bounded by one
+    chunk's panels plus its AD tape; results are identical (f-dtype mean
+    associativity aside) to the materialised sweep.  Completes the adjoint
+    matrix for host-streamed panels (VERDICT r04 item 2)."""
+    n_total = spot_val.shape[1]
+    dtype = arrays["grids"].dtype
+    inv0 = jnp.asarray(starting_inventory, dtype)
+    regression = {k: jnp.asarray(v) for k, v in regression.items()}
+    npv_sum = None
+    grad_sum = None
+    done = 0
+    while done < n_total:
+        take = min(chunk_sims, n_total - done)
+        spot_c = jnp.asarray(spot_val[:, done : done + take], dtype)
+        fac_c = jnp.asarray(factors_val[:, :, done : done + take], dtype)
+        npv_c, grad_c = _forward_ad_chunk_jit(
+            arrays, regression, spot_c, fac_c, inv0, monomials,
+            num_extra_decisions, terminal_fn, ratchet_is_step,
+            uniform_grids=uniform_grids,
+        )
+        w = float(take)
+        npv_sum = npv_c * w if npv_sum is None else npv_sum + npv_c * w
+        grad_sum = grad_c * w if grad_sum is None else grad_sum + grad_c * w
+        done += take
+    npv = npv_sum / n_total
+    grad_fwd = grad_sum / n_total
+    return _undiscount_deltas(arrays, npv, grad_fwd, discount_deltas)
 
 
 @partial(

@@ -515,3 +515,116 @@ def sharded_ad_deltas(
             None, num_sims // n_dev, arrays["grids"].dtype
         ),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "monomials", "num_extra_decisions", "discount_deltas",
+        "terminal_fn", "ratchet_is_step", "use_pallas", "uniform_grids",
+    ),
+)
+def _sharded_ad_from_sims_jit(
+    arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0,
+    *, mesh, monomials, num_extra_decisions, discount_deltas, terminal_fn,
+    ratchet_is_step, use_pallas, uniform_grids=True,
+):
+    eff_axis = AXIS if mesh.devices.size > 1 else None
+
+    def shard_fn(arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0):
+        # Backward with globally psum'd moments (replicated payload), then a
+        # collective-free per-shard forward grad, pmean'd explicitly — the
+        # lsmc_npv_and_ad_deltas_streamed structure, over panel inputs.
+        fwd = arrays["fwd"]
+        spot_reg = fwd[:, None] * stoch_reg
+        _v0, regression = lsmc_engine.lsmc_backward(
+            arrays, spot_reg, factors_reg, monomials, num_extra_decisions,
+            terminal_fn, ratchet_is_step, eff_axis, use_pallas=use_pallas,
+            uniform_grids=uniform_grids,
+        )
+        regression = jax.tree.map(jax.lax.stop_gradient, regression)
+        npv_local, grad_local = lsmc_engine._forward_value_and_grad(
+            arrays, regression, stoch_val, factors_val, inv0, monomials,
+            num_extra_decisions, terminal_fn, ratchet_is_step, None,
+            uniform_grids=uniform_grids,
+        )
+        if eff_axis is not None:
+            # Equal shard sizes: global mean PV / gradient are plain means.
+            npv_local = jax.lax.pmean(npv_local, eff_axis)
+            grad_local = jax.lax.pmean(grad_local, eff_axis)
+        return lsmc_engine._undiscount_deltas(
+            arrays, npv_local, grad_local, discount_deltas
+        )
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, AXIS), P(None, None, AXIS), P(None, AXIS),
+            P(None, None, AXIS), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return mapped(arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0)
+
+
+def sharded_ad_deltas_from_sims(
+    arrays: tp.Dict[str, jnp.ndarray],
+    spot_reg, factors_reg, spot_val, factors_val,
+    starting_inventory,
+    monomials,
+    num_extra_decisions: int,
+    discount_deltas: bool,
+    terminal_fn,
+    ratchet_is_step: bool,
+    mesh: tp.Optional[Mesh] = None,
+    uniform_grids: bool = True,
+):
+    """Adjoint deltas over pre-simulated panels, path-sharded across local
+    devices or a multi-process global mesh (completes the adjoint matrix for
+    multi-host ``value_from_sims_host_local`` panels — VERDICT r04 item 2).
+    In multi-process runs the panels must already be global arrays
+    (distributed.host_local_sims_to_global).  Returns (npv, deltas [N+1])
+    replicated."""
+    num_sims = spot_reg.shape[1]
+    multiprocess = jax.process_count() > 1
+    if mesh is None:
+        if multiprocess:
+            from . import distributed as dist
+
+            mesh = dist.global_mesh()
+        elif len(jax.devices()) > 1 and num_sims % len(jax.devices()) == 0:
+            mesh = make_mesh()
+    inv0 = jnp.asarray(starting_inventory, arrays["grids"].dtype)
+    if multiprocess:
+        from . import distributed as dist
+
+        arrays, inv0 = dist.replicate_to_global((arrays, inv0), mesh)
+    fwd = arrays["fwd"]
+    stoch_reg = spot_reg / fwd[:, None]
+    stoch_val = spot_val / fwd[:, None]
+    if mesh is None or mesh.devices.size == 1 or num_sims % mesh.devices.size != 0:
+        return lsmc_engine.lsmc_npv_and_ad_deltas(
+            arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0,
+            monomials, num_extra_decisions, discount_deltas, terminal_fn,
+            ratchet_is_step,
+            use_pallas=lsmc_engine.resolve_use_pallas(
+                None, num_sims, arrays["grids"].dtype
+            ),
+            uniform_grids=uniform_grids,
+        )
+    s_local = num_sims // mesh.devices.size
+    resolved_pallas = (
+        lsmc_engine.resolve_use_pallas(None, s_local, arrays["grids"].dtype)
+        and uniform_grids
+        and not lsmc_engine.has_generic(monomials)
+    )
+    return _sharded_ad_from_sims_jit(
+        arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0,
+        mesh=mesh, monomials=monomials,
+        num_extra_decisions=num_extra_decisions,
+        discount_deltas=discount_deltas, terminal_fn=terminal_fn,
+        ratchet_is_step=ratchet_is_step, use_pallas=resolved_pallas,
+        uniform_grids=uniform_grids,
+    )

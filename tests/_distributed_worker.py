@@ -123,6 +123,23 @@ def main():
         flush=True,
     )
 
+    # Round 5: multi-process USER-PANELS adjoint (VERDICT r04 item 2) — same
+    # host-local panel ingestion as RESULT, but deltas_method='adjoint'
+    # (parallel.mesh.sharded_ad_deltas_from_sims on the global mesh).  NPV
+    # identical to RESULT; deltas must equal RESULT's pathwise series.
+    res4 = value_from_sims_host_local(
+        storage, val_date, 500.0, fwd, 0.03, None, spot_local, spot_local,
+        basis, False, sim_factors_regress=factors_local,
+        sim_factors_valuation=factors_local, num_inventory_grid_points=30,
+        dtype=jnp.float64, deltas_method="adjoint",
+    )
+    print(
+        f"RESULT4 proc={proc_id} npv={res4.npv!r} "
+        f"delta_sum={res4.deltas.sum()!r} "
+        f"delta_vs_pathwise={(res4.deltas - res.deltas).abs().max()!r}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

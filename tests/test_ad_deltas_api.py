@@ -173,3 +173,35 @@ def test_adjoint_sharded_remat_at_bench_scale_sims():
         np.asarray(deltas_ad), np.asarray(pathwise["deltas"]), rtol=1e-6,
         atol=1e-8 * float(np.abs(np.asarray(pathwise["deltas"])).max()),
     )
+
+
+def test_adjoint_with_nonuniform_grid_calc_matches_pathwise():
+    """Non-uniform user grids (general searchsorted+gather interpolation) are
+    fully differentiable: adjoint == pathwise on the same custom grid
+    (VERDICT r04 item 2)."""
+
+    def dense_near_bottom(lo, hi):
+        u = np.linspace(0.0, 1.0, 40) ** 2
+        return lo + (hi - lo) * u
+
+    fwd = market()
+    vol_idx = pd.period_range("2020-01-01", "2020-03-15", freq="D")
+    kwargs = dict(
+        interest_rates=0.04, settlement_rule=None,
+        factors=[(9.0, pd.Series(index=vol_idx, data=0.8))], factor_corrs=None,
+        num_sims=512, basis_funcs="1 + s + x0 + x0**2", discount_deltas=True,
+        seed=7, fwd_sim_seed=8, num_inventory_grid_points=40, dtype=F64,
+        grid_calc=dense_near_bottom,
+    )
+    pathwise = multi_factor_value(
+        ratcheted_storage(), "2020-01-01", 800.0, fwd, **kwargs
+    )
+    adjoint = multi_factor_value(
+        ratcheted_storage(), "2020-01-01", 800.0, fwd,
+        deltas_method="adjoint", **kwargs,
+    )
+    assert adjoint.npv == pytest.approx(pathwise.npv, rel=1e-12)
+    np.testing.assert_allclose(
+        adjoint.deltas.to_numpy(), pathwise.deltas.to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )

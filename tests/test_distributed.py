@@ -131,6 +131,20 @@ def test_two_process_host_local_sims_match_single_process():
     )
     assert results3[0]["delta_vs_pathwise"] < 1e-6 * scale
 
+    # Multi-process USER-PANELS adjoint (round 5): identical across
+    # processes, NPV unchanged vs the pathwise panel run, AD deltas equal
+    # the pathwise series (sharded_ad_deltas_from_sims on the global mesh).
+    results4 = []
+    for out in outputs:
+        lines4 = [l for l in out.splitlines() if l.startswith("RESULT4 ")]
+        assert lines4, f"no RESULT4 line in worker output:\n{out}"
+        results4.append(_parse(lines4[0]))
+    for key in ("npv", "delta_sum"):
+        assert results4[0][key] == results4[1][key], key
+    assert results4[0]["npv"] == pytest.approx(results[0]["npv"], rel=1e-10)
+    pscale = max(1.0, abs(results[0]["delta_sum"]))
+    assert results4[0]["delta_vs_pathwise"] < 1e-6 * pscale
+
 
 class TestDistributedHelpers:
     def test_single_process_passthrough(self):
