@@ -12,10 +12,14 @@ Deviations (documented; see also ``engines/lsmc.py``):
   cancellation that aborts mid-pass, the practical analog of the reference's
   per-period polling (LsmcStorageValuation.cs:343-345,521).  Without
   callbacks the scans stay fully fused on device.
-* ``max_withdraw_trigger_price`` is the trigger price at the maximum withdrawal
-  volume (consistent with its name and the inject side); the reference reports
-  the price at the volume nearest the alternative decision
-  (LsmcStorageValuation.cs:576-584).
+* ``withdraw_trigger_price`` follows the reference exactly: the price at the
+  withdrawal volume ONE INCREMENT from the alternative decision
+  (``withdrawTriggerPrices[0]`` of the reversed volume scan,
+  LsmcStorageValuation.cs:576-584) — so frames diff cleanly against
+  cmdty/storage output.  The price at the MAX withdrawal volume (consistent
+  with the inject side's semantics) is kept under the additional
+  ``withdraw_max_volume_price`` column (also the last point of each period's
+  ``trigger_profiles`` withdraw profile).
 """
 from __future__ import annotations
 
@@ -812,7 +816,11 @@ def _lsmc_calc(
             "inject_volume": result["max_inject_volume"].astype(np.float64),
             "inject_trigger_price": result["max_inject_trigger_price"].astype(np.float64),
             "withdraw_volume": result["max_withdraw_volume"].astype(np.float64),
+            # Reference semantics (LsmcStorageValuation.cs:584): the price at
+            # the withdrawal volume one increment from the alternative.
             "withdraw_trigger_price": result["max_withdraw_trigger_price"].astype(np.float64),
+            # Beyond-reference extra: the price at the max withdrawal volume.
+            "withdraw_max_volume_price": result["withdraw_max_volume_price"].astype(np.float64),
         },
         index=active,
     )

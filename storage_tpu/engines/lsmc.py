@@ -825,21 +825,32 @@ def _trigger_outputs(x, xbar, expected_inventory, ratchet_is_step: bool,
         nan = jnp.asarray(jnp.nan, dtype)
         volumes = jnp.where(active, volumes, nan)
         prices = jnp.where(active, prices, nan)
-        return volumes, prices, jnp.where(active, extreme, nan), jnp.where(
-            active, prices[-1], nan
+        return (
+            volumes, prices,
+            jnp.where(active, extreme, nan),
+            jnp.where(active, prices[-1], nan),  # price at the max volume
+            jnp.where(active, prices[0], nan),   # price nearest the alternative
         )
 
-    inj_volumes, inj_prices, max_inj_vol, max_inj_price = side(True)
-    wdr_volumes, wdr_prices, max_wdr_vol, max_wdr_price = side(False)
+    inj_volumes, inj_prices, max_inj_vol, max_inj_price, _inj_near = side(True)
+    wdr_volumes, wdr_prices, max_wdr_vol, wdr_maxvol_price, wdr_near_price = side(False)
     return {
         "inj_volumes": inj_volumes,
         "inj_prices": inj_prices,
         "wdr_volumes": wdr_volumes,
         "wdr_prices": wdr_prices,
         "max_inj_vol": max_inj_vol,
+        # Inject: the reference's MaxInjectTriggerPrice IS the max-volume
+        # point (the last entry of the ascending volume scan,
+        # LsmcStorageValuation.cs:556).
         "max_inj_price": max_inj_price,
         "max_wdr_vol": max_wdr_vol,
-        "max_wdr_price": max_wdr_price,
+        # Withdraw: the reference reports the price at the volume ONE
+        # INCREMENT from the alternative (withdrawTriggerPrices[0] of the
+        # reversed scan, LsmcStorageValuation.cs:584) in the like-named
+        # column; the max-volume figure is kept under a distinct key.
+        "max_wdr_price": wdr_near_price,
+        "wdr_maxvol_price": wdr_maxvol_price,
     }
 
 
@@ -1101,6 +1112,7 @@ def _forward_finalise(
         "max_inject_trigger_price": outputs["max_inj_price"],
         "max_withdraw_volume": outputs["max_wdr_vol"],
         "max_withdraw_trigger_price": outputs["max_wdr_price"],
+        "withdraw_max_volume_price": outputs["wdr_maxvol_price"],
         **sim_panels,
     }
 

@@ -163,7 +163,7 @@ def _sharded_lsmc_jit(
         "trigger_inject_prices", "trigger_withdraw_volumes",
         "trigger_withdraw_prices", "max_inject_volume",
         "max_inject_trigger_price", "max_withdraw_volume",
-        "max_withdraw_trigger_price",
+        "max_withdraw_trigger_price", "withdraw_max_volume_price",
     ]
     out_specs = {k: P() for k in result_keys}
     if return_sim_data:
@@ -321,7 +321,7 @@ def _sharded_from_sims_jit(
         "trigger_inject_prices", "trigger_withdraw_volumes",
         "trigger_withdraw_prices", "max_inject_volume",
         "max_inject_trigger_price", "max_withdraw_volume",
-        "max_withdraw_trigger_price",
+        "max_withdraw_trigger_price", "withdraw_max_volume_price",
     ]
     out_specs = {k: P() for k in result_keys}
     if return_sim_data:

@@ -97,7 +97,10 @@ class TriggerPricePoint(tp.NamedTuple):
 
 
 class TriggerPrices(tp.NamedTuple):
-    """Max-volume trigger summary for one period (TriggerPrices.cs:28)."""
+    """Per-period trigger summary (TriggerPrices.cs:28).  Reference
+    semantics: the inject price is at the max inject volume, the withdraw
+    price at the volume one increment from the alternative
+    (LsmcStorageValuation.cs:556,584)."""
 
     max_inject_volume: float
     max_inject_trigger_price: float

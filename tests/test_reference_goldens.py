@@ -16,12 +16,6 @@ Two sources of truth from ``/root/reference``:
    24,799.09 C# trinomial; ``README.md:233-242,439,544,621``).
 
 Notes on known deviations (documented in api_lsmc.py / grid.py):
-* the reference's ``withdraw_trigger_price`` column is the price at the volume
-  one increment from the alternative decision (``LsmcStorageValuation.cs:584``
-  takes ``withdrawTriggerPrices[0]`` of the reversed volume scan); our
-  ``trigger_prices`` column reports the price at the max withdrawal volume, so
-  the golden comparison reads the near-alternative point from
-  ``trigger_profiles`` instead;
 * intrinsic profiles under the default linspace grids are compared in
   aggregate only: with a flat curve and monthly settlement, within-month
   injection timing is exactly value-tied, so equally-optimal schedules differ
@@ -179,6 +173,9 @@ def _check_against_goldens(res, goldens, ref_se):
         # MC band at 500 sims; 0.065 observed after the round-3 RNG re-layout
         # (a boundary period's expected inventory shifts the trigger volume).
         ("withdraw_volume", trig["withdraw_volume"], 0.08),
+        # Same-named column, same semantics (round 5): the price one
+        # increment from the alternative, compared DIRECTLY to the golden.
+        ("withdraw_trigger_price", trig["withdraw_trigger_price"], 0.04),
     ):
         o = ours_col.to_numpy()
         g = ref_trig[col].to_numpy()
@@ -191,16 +188,15 @@ def _check_against_goldens(res, goldens, ref_se):
     g = ref_trig["inject_volume"].to_numpy()
     both = ~(np.isnan(o) | np.isnan(g))
     assert np.abs(o[both] - g[both]).mean() < 0.02 * np.abs(g[both]).max()
-    # withdraw price at the reference's reported point (near-alternative).
-    near_alt = np.array([
-        (tp.withdraw_triggers[0].price if len(tp.withdraw_triggers) else np.nan)
+    # The max-volume withdraw price (beyond-reference extra column) must
+    # equal the last point of each period's withdraw trigger profile.
+    maxvol = trig["withdraw_max_volume_price"].to_numpy()
+    prof_last = np.array([
+        (tp.withdraw_triggers[-1].price if len(tp.withdraw_triggers) else np.nan)
         for tp in res.trigger_profiles
     ])
-    g = ref_trig["withdraw_trigger_price"].to_numpy()
-    both = ~(np.isnan(near_alt) | np.isnan(g))
-    assert (np.isnan(near_alt) != np.isnan(g)).sum() <= 2
-    s = np.abs(g[both]).max()
-    assert np.abs(near_alt[both] - g[both]).max() < 0.04 * s
+    both = ~(np.isnan(maxvol) | np.isnan(prof_last))
+    np.testing.assert_allclose(maxvol[both], prof_last[both], rtol=1e-6)
 
 
 class TestGoldenCsvCrossChecks:
