@@ -572,18 +572,15 @@ def _lsmc_calc(
         (on_progress_update is not None or cancellation_poll is not None)
         and jax.process_count() == 1  # host-chunked loops are per-process
     )
+    chunked_mesh = None
     if interactive and len(jax.devices()) > 1:
-        # The host-chunked interactive drivers run single-device (their
-        # segment dispatch has no mesh); registering a progress callback or
-        # cancellation poll therefore trades multi-chip sharding for
-        # reference-granularity interactivity.  For full-speed sharded
-        # execution with coarse phase-boundary progress, drop the callbacks.
-        logger.warning(
-            "Progress/cancellation callbacks route this valuation through the "
-            "single-device host-chunked path (%d devices available). Remove "
-            "the callbacks to use the sharded path (phase-boundary progress "
-            "only).", len(jax.devices())
-        )
+        # Host-chunked interactive drivers dispatch each seg_len-step segment
+        # shard_map'd over the local path mesh, so progress/cancellation no
+        # longer costs a multi-chip host its sharding (the drivers fall back
+        # to one device only when the path count does not divide the mesh).
+        from .parallel import mesh as pmesh
+
+        chunked_mesh = pmesh.make_mesh()
     host_stream_used = False
     with stopwatches.time("lsmc_backward_forward"):
         if use_stream and interactive:
@@ -612,6 +609,7 @@ def _lsmc_calc(
                 same_sims=same_sims,
                 return_regression=checkpoint_path is not None,
                 segment_cb=segment_cb,
+                mesh=chunked_mesh,
             )
         elif use_stream:
             from .parallel import mesh as pmesh
@@ -684,6 +682,10 @@ def _lsmc_calc(
                 or (deltas_method == "adjoint" and host_stream),
                 segment_cb=segment_cb if interactive else None,
                 uniform_grids=uniform_grids,
+                # Host-streamed panels segment-feed from host RAM one device
+                # at a time; the local mesh engages only for device-resident
+                # interactive runs.
+                mesh=None if host_stream else chunked_mesh,
             )
         else:
             result = lsmc_core_from_sims(

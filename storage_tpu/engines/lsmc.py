@@ -1815,6 +1815,167 @@ def _forward_segment_chunk_jit(
     return jax.lax.scan(streamed_body, carry, (z_xs, seg))
 
 
+# ------------------- multi-device host-chunked execution (VERDICT r04 item 6)
+#
+# The host-chunked drivers dispatch one jitted call per seg_len-step segment.
+# On a multi-device host each segment call is wrapped in a shard_map over the
+# local 1-D path mesh: carries with a trailing sim axis stay device-sharded
+# between segments, per-step parameters are replicated, and the engine bodies
+# run with axis_name = the mesh axis so the regression reductions psum exactly
+# as in the non-chunked sharded path.  One boundary subtlety: the fused
+# backward carry holds PER-SHARD partial moments (each step's kernel
+# accumulates local partials; fused_body psums them at the START of the next
+# step).  A shard-varying value with no sim axis cannot cross a shard_map
+# boundary, so the wrappers pmean the moment leaves at segment exit — the next
+# segment's first-step psum then yields n_dev * pmean = the exact global sum.
+
+_MESH_AXIS = "paths"  # == parallel.mesh.AXIS (literal: avoids a module cycle)
+
+
+class _ChunkedMeshCalls:
+    """shard_map-per-segment wrappers for the host-chunked drivers."""
+
+    def __init__(self, mesh, fused: bool):
+        from jax.sharding import PartitionSpec
+
+        self.mesh = mesh
+        self.fused = fused
+        self.P = PartitionSpec
+        ax = _MESH_AXIS
+        self.stream_spec = StreamedSims(
+            decay=self.P(), chol=self.P(), vols=self.P(), half_var=self.P(),
+            fwd=self.P(), key=self.P(), path_ids=self.P(ax),
+        )
+        self.carry_spec = (
+            (self.P(None, ax), self.P(), self.P(), self.P(), self.P())
+            if fused else self.P(None, ax)
+        )
+        self.row_spec = self.P(ax)          # [S]
+        self.state_spec = self.P(None, ax)  # [F, S] / [G, S]
+
+    def _pmean_moments(self, carry):
+        if not self.fused:
+            return carry
+        v, xtx, xty, mean, std = carry
+        return (
+            v,
+            jax.lax.pmean(xtx, _MESH_AXIS),
+            jax.lax.pmean(xty, _MESH_AXIS),
+            mean, std,
+        )
+
+    def _map(self, fn, in_specs, out_specs):
+        return jax.shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    # ---- streamed driver -------------------------------------------------
+    def warmup(self, stream, seg_len, antithetic):
+        P, ax = self.P, _MESH_AXIS
+        fn = lambda st: _stream_warmup_jit(st, seg_len, antithetic)
+        return self._map(
+            fn, (self.stream_spec,),
+            (P(None, None, ax), self.state_spec, self.state_spec),
+        )(stream)
+
+    def init_streamed(self, arrays, stream, x_last, **statics):
+        def fn(arr, st, xl):
+            return self._pmean_moments(
+                _backward_init_streamed_jit(arr, st, xl, **statics)
+            )
+        return self._map(
+            fn, (self.P(), self.stream_spec, self.state_spec), self.carry_spec
+        )(arrays, stream, x_last)
+
+    def bwd_seg_streamed(self, stream, carry, entry, seg, is_first, **statics):
+        def fn(st, c, e, sg, fi):
+            c2, out = _backward_segment_chunk_jit(st, c, e, sg, fi, **statics)
+            return self._pmean_moments(c2), out
+        return self._map(
+            fn,
+            (self.stream_spec, self.carry_spec, self.state_spec, self.P(), self.P()),
+            (self.carry_spec, self.P()),
+        )(stream, carry, entry, seg, is_first)
+
+    def fwd_seg_streamed(self, stream, carry, seg, **statics):
+        fwd_carry_spec = (self.row_spec, self.row_spec, self.state_spec)
+        fn = lambda st, c, sg: _forward_segment_chunk_jit(st, c, sg, **statics)
+        return self._map(
+            fn, (self.stream_spec, fwd_carry_spec, self.P()),
+            (fwd_carry_spec, self.P()),
+        )(stream, carry, seg)
+
+    # ---- materialised driver ---------------------------------------------
+    def _mat_seg_spec(self, seg):
+        P, ax = self.P, _MESH_AXIS
+        return {
+            k: (
+                P(None, ax) if k in ("spot", "spot_prev")
+                else P(None, None, ax) if k in ("factors", "factors_prev")
+                else P()
+            )
+            for k in seg
+        }
+
+    def init_mat(self, arrays, spot_last, factors_last, spot_end, **statics):
+        def fn(arr, sl, fl, se):
+            return self._pmean_moments(
+                _backward_init_mat_jit(arr, sl, fl, se, **statics)
+            )
+        return self._map(
+            fn,
+            (self.P(), self.row_spec, self.state_spec, self.row_spec),
+            self.carry_spec,
+        )(arrays, spot_last, factors_last, spot_end)
+
+    def bwd_seg_mat(self, carry, seg, **statics):
+        def fn(c, sg):
+            c2, out = _backward_segment_chunk_mat_jit(c, sg, **statics)
+            return self._pmean_moments(c2), out
+        return self._map(
+            fn, (self.carry_spec, self._mat_seg_spec(seg)),
+            (self.carry_spec, self.P()),
+        )(carry, seg)
+
+    def fwd_seg_mat(self, carry, seg, **statics):
+        P, ax = self.P, _MESH_AXIS
+        fwd_carry_spec = (self.row_spec, self.row_spec)
+        fn = lambda c, sg: _forward_segment_chunk_mat_jit(c, sg, **statics)
+        # Per-sim panel outputs (the optional "sim" subtree) keep their path
+        # shard; every reduced output is replicated.  The output STRUCTURE is
+        # axis-independent, so eval_shape runs with the collectives disabled
+        # (tracing a psum outside shard_map would fail on the unbound axis).
+        out_spec = getattr(self, "_fwd_mat_out_spec", None)
+        if out_spec is None:
+            shape_statics = dict(statics, axis_name=None)
+            out_shape = jax.eval_shape(
+                lambda c, sg: _forward_segment_chunk_mat_jit(c, sg, **shape_statics),
+                carry, seg,
+            )[1]
+            out_spec = {
+                k: (P(None, ax) if k == "sim" else P()) for k in out_shape
+            }
+            self._fwd_mat_out_spec = out_spec
+        return self._map(
+            fn, (fwd_carry_spec, self._mat_seg_spec(seg)),
+            (fwd_carry_spec, out_spec),
+        )(carry, seg)
+
+
+def _resolve_chunked_mesh(mesh, num_sims: int):
+    """A usable per-segment mesh: multi-device, paths divide the mesh, and
+    single-process (the chunked drivers dispatch from one host)."""
+    if (
+        mesh is None
+        or mesh.devices.size <= 1
+        or num_sims % mesh.devices.size != 0
+        or jax.process_count() > 1
+    ):
+        return None
+    return mesh
+
+
 def lsmc_core_streamed_chunked(
     arrays: tp.Dict[str, jnp.ndarray],
     sim_inputs: tp.Dict[str, jnp.ndarray],
@@ -1835,6 +1996,7 @@ def lsmc_core_streamed_chunked(
     same_sims: bool = False,
     return_regression: bool = False,
     segment_cb: tp.Optional[tp.Callable[[str, int, int], None]] = None,
+    mesh=None,
 ) -> tp.Dict[str, jnp.ndarray]:
     """``lsmc_core_streamed`` with host-driven segments: identical numbers
     (same RNG stream, same segment regeneration, same bodies — pinned by
@@ -1842,7 +2004,9 @@ def lsmc_core_streamed_chunked(
     total)`` fired after every ``seg_len``-step segment of the backward and
     forward passes.  Raising from the callback aborts the valuation between
     segments (cooperative cancellation with ≤ seg_len steps of latency).
-    Single-process, non-collective execution (``axis_name=None``)."""
+    Single-process; with a multi-device ``mesh`` every segment runs
+    shard_map'd over the local path mesh (interactivity no longer costs a
+    multi-chip host its sharding — see _ChunkedMeshCalls)."""
     use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     if snap_interp is None:
         snap_interp = use_pallas
@@ -1854,6 +2018,9 @@ def lsmc_core_streamed_chunked(
     dtype = grids.dtype
     s_local = path_ids.shape[0]
     fused = use_pallas and sim_inputs["decay"].shape[1] > 0
+    mesh = _resolve_chunked_mesh(mesh, s_local)
+    mcalls = _ChunkedMeshCalls(mesh, fused) if mesh is not None else None
+    eff_axis = _MESH_AXIS if mcalls is not None else None
 
     reg_stream = StreamedSims(
         decay=sim_inputs["decay"], chol=sim_inputs["chol"],
@@ -1867,13 +2034,22 @@ def lsmc_core_streamed_chunked(
             segment_cb(phase, done, total)
 
     # ---- backward, latest segment first.
-    checkpoints, ragged_entry, x_last = _stream_warmup_jit(
-        reg_stream, seg_len, antithetic
+    init_statics = dict(
+        monomials=monomials, terminal_fn=terminal_fn, axis_name=eff_axis,
+        fused=fused, antithetic=antithetic,
     )
-    carry = _backward_init_streamed_jit(
-        arrays, reg_stream, x_last, monomials=monomials, terminal_fn=terminal_fn,
-        axis_name=None, fused=fused, antithetic=antithetic,
-    )
+    if mcalls is not None:
+        checkpoints, ragged_entry, x_last = mcalls.warmup(
+            reg_stream, seg_len, antithetic
+        )
+        carry = mcalls.init_streamed(arrays, reg_stream, x_last, **init_statics)
+    else:
+        checkpoints, ragged_entry, x_last = _stream_warmup_jit(
+            reg_stream, seg_len, antithetic
+        )
+        carry = _backward_init_streamed_jit(
+            arrays, reg_stream, x_last, **init_statics
+        )
     per_step = _backward_per_step(arrays)
     per_step.update(_backward_prep_all(
         per_step, num_extra_decisions, ratchet_is_step, snap_interp,
@@ -1882,22 +2058,26 @@ def lsmc_core_streamed_chunked(
     per_step.update(_stream_step_arrays(reg_stream, n))
     statics = dict(
         monomials=monomials, num_extra_decisions=num_extra_decisions,
-        ratchet_is_step=ratchet_is_step, axis_name=None, use_pallas=use_pallas,
+        ratchet_is_step=ratchet_is_step, axis_name=eff_axis, use_pallas=use_pallas,
         snap_interp=snap_interp, pred_passes=pred_passes, antithetic=antithetic,
         fused=fused,
+    )
+    bwd_call = (
+        mcalls.bwd_seg_streamed if mcalls is not None
+        else _backward_segment_chunk_jit
     )
     reg_chunks: tp.List[tp.Any] = [None] * total
     done = 0
     if r > 0:
         seg = jax.tree.map(lambda a: a[m * seg_len :], per_step)
-        carry, reg_chunks[total - 1] = _backward_segment_chunk_jit(
+        carry, reg_chunks[total - 1] = bwd_call(
             reg_stream, carry, ragged_entry, seg, jnp.asarray(m == 0), **statics
         )
         done += 1
         tick("backward", done)
     for i in reversed(range(m)):
         seg = jax.tree.map(lambda a: a[i * seg_len : (i + 1) * seg_len], per_step)
-        carry, reg_chunks[i] = _backward_segment_chunk_jit(
+        carry, reg_chunks[i] = bwd_call(
             reg_stream, carry, checkpoints[i], seg, jnp.asarray(i == 0), **statics
         )
         done += 1
@@ -1916,7 +2096,11 @@ def lsmc_core_streamed_chunked(
     fstatics = dict(
         monomials=monomials, num_extra_decisions=num_extra_decisions,
         discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
-        axis_name=None, antithetic=antithetic, fused=fwd_fused,
+        axis_name=eff_axis, antithetic=antithetic, fused=fwd_fused,
+    )
+    fwd_call = (
+        mcalls.fwd_seg_streamed if mcalls is not None
+        else _forward_segment_chunk_jit
     )
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     fcarry = (inv0, jnp.zeros((s_local,), dtype),
@@ -1925,13 +2109,13 @@ def lsmc_core_streamed_chunked(
     done = 0
     for i in range(m):
         seg = jax.tree.map(lambda a: a[i * seg_len : (i + 1) * seg_len], fper)
-        fcarry, outs = _forward_segment_chunk_jit(val_stream, fcarry, seg, **fstatics)
+        fcarry, outs = fwd_call(val_stream, fcarry, seg, **fstatics)
         out_chunks.append(outs)
         done += 1
         tick("forward", done)
     if r > 0:
         seg = jax.tree.map(lambda a: a[m * seg_len :], fper)
-        fcarry, outs = _forward_segment_chunk_jit(val_stream, fcarry, seg, **fstatics)
+        fcarry, outs = fwd_call(val_stream, fcarry, seg, **fstatics)
         out_chunks.append(outs)
         done += 1
         tick("forward", done)
@@ -2043,13 +2227,15 @@ def lsmc_core_chunked(
     return_regression: bool = False,
     segment_cb: tp.Optional[tp.Callable[[str, int, int], None]] = None,
     uniform_grids: bool = True,
+    mesh=None,
 ) -> tp.Dict[str, jnp.ndarray]:
     """``lsmc_core`` with host-driven segments over materialised panels
     (internally simulated with per-sim data requested, or user-supplied sims
     via ``value_from_sims``): ``segment_cb(phase, done, total)`` fires after
     every ``seg_len``-step segment of both passes, and raising from the
-    callback aborts between segments.  Single-process, non-collective
-    execution (``axis_name=None``)."""
+    callback aborts between segments.  Single-process; with a multi-device
+    ``mesh`` every segment runs shard_map'd over the local path mesh (see
+    _ChunkedMeshCalls)."""
     use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     if not uniform_grids:
         use_pallas = False  # general-interp XLA path (see lsmc_core)
@@ -2063,6 +2249,9 @@ def lsmc_core_chunked(
     dtype = grids.dtype
     s_local = spot_reg.shape[1]
     fused = use_pallas and factors_reg.shape[1] > 0
+    mesh = _resolve_chunked_mesh(mesh, s_local)
+    mcalls = _ChunkedMeshCalls(mesh, fused) if mesh is not None else None
+    eff_axis = _MESH_AXIS if mcalls is not None else None
 
     def tick(phase, done):
         if segment_cb is not None:
@@ -2070,15 +2259,24 @@ def lsmc_core_chunked(
 
     statics = dict(
         monomials=monomials, num_extra_decisions=num_extra_decisions,
-        ratchet_is_step=ratchet_is_step, axis_name=None, use_pallas=use_pallas,
+        ratchet_is_step=ratchet_is_step, axis_name=eff_axis, use_pallas=use_pallas,
         snap_interp=snap_interp, pred_passes=pred_passes, antithetic=False,
         fused=fused,
     )
-    carry = _backward_init_mat_jit(
-        arrays, spot_reg[n - 1], factors_reg[n - 1], spot_reg[n],
-        monomials=monomials, terminal_fn=terminal_fn, axis_name=None,
+    init_statics = dict(
+        monomials=monomials, terminal_fn=terminal_fn, axis_name=eff_axis,
         fused=fused,
     )
+    if mcalls is not None:
+        carry = mcalls.init_mat(
+            arrays, spot_reg[n - 1], factors_reg[n - 1], spot_reg[n],
+            **init_statics,
+        )
+    else:
+        carry = _backward_init_mat_jit(
+            arrays, spot_reg[n - 1], factors_reg[n - 1], spot_reg[n],
+            **init_statics,
+        )
     per_step = _backward_per_step(arrays)
     per_step.update(_backward_prep_all(
         per_step, num_extra_decisions, ratchet_is_step, snap_interp,
@@ -2104,16 +2302,20 @@ def lsmc_core_chunked(
                 )
         return seg
 
+    bwd_call = (
+        mcalls.bwd_seg_mat if mcalls is not None
+        else _backward_segment_chunk_mat_jit
+    )
     reg_chunks: tp.List[tp.Any] = [None] * total
     done = 0
     if r > 0:
-        carry, reg_chunks[total - 1] = _backward_segment_chunk_mat_jit(
+        carry, reg_chunks[total - 1] = bwd_call(
             carry, bwd_segment(m * seg_len, n), **statics
         )
         done += 1
         tick("backward", done)
     for i in reversed(range(m)):
-        carry, reg_chunks[i] = _backward_segment_chunk_mat_jit(
+        carry, reg_chunks[i] = bwd_call(
             carry, bwd_segment(i * seg_len, (i + 1) * seg_len), **statics
         )
         done += 1
@@ -2132,8 +2334,12 @@ def lsmc_core_chunked(
     fstatics = dict(
         monomials=monomials, num_extra_decisions=num_extra_decisions,
         discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
-        axis_name=None, antithetic=False, fused=fwd_fused,
+        axis_name=eff_axis, antithetic=False, fused=fwd_fused,
         return_sim_data=return_sim_data, uniform_grids=uniform_grids,
+    )
+    fwd_call = (
+        mcalls.fwd_seg_mat if mcalls is not None
+        else _forward_segment_chunk_mat_jit
     )
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     fcarry = (inv0, jnp.zeros((s_local,), dtype))
@@ -2141,13 +2347,13 @@ def lsmc_core_chunked(
     done = 0
     for i in range(m):
         seg = jax.tree.map(lambda a: a[i * seg_len : (i + 1) * seg_len], fper)
-        fcarry, outs = _forward_segment_chunk_mat_jit(fcarry, seg, **fstatics)
+        fcarry, outs = fwd_call(fcarry, seg, **fstatics)
         out_chunks.append(outs)
         done += 1
         tick("forward", done)
     if r > 0:
         seg = jax.tree.map(lambda a: a[m * seg_len :], fper)
-        fcarry, outs = _forward_segment_chunk_mat_jit(fcarry, seg, **fstatics)
+        fcarry, outs = fwd_call(fcarry, seg, **fstatics)
         out_chunks.append(outs)
         done += 1
         tick("forward", done)

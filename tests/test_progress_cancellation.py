@@ -201,3 +201,59 @@ class TestMaterialisedChunked:
         baseline = _run(sim_data_returned="ALL")
         assert res.npv == pytest.approx(baseline.npv, rel=1e-12)
         pd.testing.assert_frame_equal(res.sim_inventory, baseline.sim_inventory)
+
+
+class TestMultiDeviceChunked:
+    """VERDICT r04 item 6: interactive (host-chunked) execution no longer
+    costs a multi-device host its sharding — each segment dispatches
+    shard_map'd over the local path mesh."""
+
+    def test_chunked_mesh_engages_and_matches_sharded(self, monkeypatch):
+        """512 sims on the 8-virtual-device mesh: the per-segment shard_map
+        path must engage (spied) and reproduce the non-interactive sharded
+        valuation exactly."""
+        from storage_tpu.engines import lsmc as lsmc_engine
+
+        calls = {"bwd": 0, "fwd": 0}
+        orig_bwd = lsmc_engine._ChunkedMeshCalls.bwd_seg_streamed
+        orig_fwd = lsmc_engine._ChunkedMeshCalls.fwd_seg_streamed
+
+        def spy_bwd(self, *a, **k):
+            calls["bwd"] += 1
+            return orig_bwd(self, *a, **k)
+
+        def spy_fwd(self, *a, **k):
+            calls["fwd"] += 1
+            return orig_fwd(self, *a, **k)
+
+        monkeypatch.setattr(lsmc_engine._ChunkedMeshCalls, "bwd_seg_streamed", spy_bwd)
+        monkeypatch.setattr(lsmc_engine._ChunkedMeshCalls, "fwd_seg_streamed", spy_fwd)
+
+        fractions = []
+        interactive = self._run(512, on_progress_update=fractions.append)
+        assert calls["bwd"] >= 122 // 16 and calls["fwd"] >= 122 // 16
+        assert fractions[-1] == 1.0
+        baseline = self._run(512)
+        assert interactive.npv == pytest.approx(baseline.npv, rel=1e-12)
+        pd.testing.assert_series_equal(interactive.deltas, baseline.deltas)
+        pd.testing.assert_frame_equal(
+            interactive.trigger_prices, baseline.trigger_prices
+        )
+
+    @staticmethod
+    def _run(num_sims, **kwargs):
+        val_date, fwd, rates, settle = reg_market()
+        return multi_factor_value(
+            simple_reg_storage(), val_date, 0.0, fwd, rates, settle,
+            _factors(val_date), 0.64, num_sims, "1 + x0 + x0**2 + x1", False,
+            seed=11, fwd_sim_seed=11, dtype=F64, **kwargs
+        )
+
+    def test_nondivisible_path_count_falls_back(self):
+        """A path count that does not divide the mesh keeps the single-device
+        chunked path (same results, just unsharded)."""
+        fractions = []
+        res = self._run(100, on_progress_update=fractions.append)
+        baseline = self._run(100)
+        assert fractions[-1] == 1.0
+        assert res.npv == pytest.approx(baseline.npv, rel=1e-12)
