@@ -205,9 +205,18 @@ def run_multiprocess_sweep(proc_counts=(1, 2), ndev=4, num_sims_per_chip=None,
         if row is None:
             raise RuntimeError("no ROW line from process 0")
         rows.append(row)
+    # On the CPU harness the virtual devices oversubscribe the physical
+    # cores (e.g. 2 processes x 4 devices on a 2-core host), so a timing
+    # ratio measures oversubscription, not scaling — report those rows as
+    # CORRECTNESS-ONLY (efficiency n/a).  A pod run with real chips is the
+    # first meaningful efficiency datum; the device_sweep is the real
+    # single-host artifact.
+    oversubscribed = max(proc_counts) * ndev > (os.cpu_count() or 1)
     base = rows[0]["per_chip"]
     for r in rows:
-        r["efficiency"] = round(r["per_chip"] / base, 4)
+        r["efficiency"] = (
+            None if oversubscribed else round(r["per_chip"] / base, 4)
+        )
     return {
         "metric": "scaling_sweep_multiprocess",
         "config": {
@@ -216,6 +225,10 @@ def run_multiprocess_sweep(proc_counts=(1, 2), ndev=4, num_sims_per_chip=None,
             "grid": num_grid,
             "devices_per_process": ndev,
             "backend": "cpu-harness",
+            "efficiency_note": (
+                "correctness-only: virtual devices oversubscribe the host "
+                "cores; timing ratios are not scaling efficiencies"
+            ) if oversubscribed else "",
         },
         "rows": rows,
     }
@@ -234,12 +247,19 @@ def main():
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
-    worst = min(r["efficiency"] for r in result["rows"])
-    print(
-        f"# {len(result['rows'])} row(s); worst efficiency {worst:.1%} "
-        f"(target >=80% at multi-host)",
-        file=sys.stderr,
-    )
+    effs = [r["efficiency"] for r in result["rows"] if r["efficiency"] is not None]
+    if effs:
+        print(
+            f"# {len(result['rows'])} row(s); worst efficiency {min(effs):.1%} "
+            f"(target >=80% at multi-host)",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"# {len(result['rows'])} row(s); correctness-only "
+            f"(oversubscribed harness: efficiency n/a)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
