@@ -785,17 +785,16 @@ def _lsmc_calc(
                     uniform_grids=uniform_grids,
                 )
             else:
-                fwd_dev = arrays["fwd"]
-                _npv_ad, deltas_ad = lsmc_engine.lsmc_npv_and_ad_deltas(
-                    arrays,
-                    spot_reg / fwd_dev[:, None], factors_reg,
-                    spot_val / fwd_dev[:, None], factors_val,
-                    jnp.asarray(inputs.starting_inventory, arrays["grids"].dtype),
-                    monomials, int(extra_decisions or 0), bool(discount_deltas),
+                # Materialised panels: path-sharded over the local devices
+                # when the sim count divides the mesh (single-device
+                # fallback inside), mirroring the pricing run's sharding.
+                from .parallel import mesh as pmesh
+
+                _npv_ad, deltas_ad = pmesh.sharded_ad_deltas_from_sims(
+                    arrays, spot_reg, factors_reg, spot_val, factors_val,
+                    inputs.starting_inventory, monomials,
+                    int(extra_decisions or 0), bool(discount_deltas),
                     terminal_fn, inputs.compiled.ratchet_is_step,
-                    use_pallas=lsmc_engine.resolve_use_pallas(
-                        None, spot_reg.shape[1], arrays["grids"].dtype
-                    ),
                     uniform_grids=uniform_grids,
                 )
             result["deltas"] = np.asarray(deltas_ad)
