@@ -392,6 +392,12 @@ class StorageGui:  # pragma: no cover - interactive
         )
         self._handler = _OutputLogHandler(self.log_out)
         logger = logging.getLogger("storage_tpu")
+        # Re-running the construction cell must not accumulate handlers
+        # (duplicated log lines + dead Output widgets kept alive).
+        for h in list(logger.handlers):
+            if getattr(h, "_storage_gui_handler", False):
+                logger.removeHandler(h)
+        self._handler._storage_gui_handler = True
         logger.addHandler(self._handler)
         logger.setLevel(logging.INFO)
         self.log_level.observe(self._on_log_level, names="value")
@@ -463,27 +469,37 @@ class StorageGui:  # pragma: no cover - interactive
         self._cancel = True
 
     def _on_value(self, _b):
+        # The valuation runs on a WORKER THREAD: widget events (including the
+        # Cancel click) are processed on the kernel's single-threaded loop,
+        # so a synchronous valuation could never observe self._cancel.
+        import threading
+
         state = self._pull_state()
         self.result_out.clear_output()
         self.progress.value = 0.0
         self._cancel = False
         self.cancel_btn.disabled = False
         self.value_btn.disabled = True
-        with self.result_out:
-            try:
-                results = run_valuation(
-                    state,
-                    on_progress=lambda f: setattr(self.progress, "value", f),
-                    cancellation_poll=lambda: self._cancel,
-                )
-                self._show_results(results)
-            except JobCancelledError:
-                print("CANCELLED")
-            except Exception as exc:  # noqa: BLE001
-                print(f"ERROR: {exc}")
-            finally:
-                self.cancel_btn.disabled = True
-                self.value_btn.disabled = False
+
+        def work():
+            with self.result_out:
+                try:
+                    results = run_valuation(
+                        state,
+                        on_progress=lambda f: setattr(self.progress, "value", f),
+                        cancellation_poll=lambda: self._cancel,
+                    )
+                    self._show_results(results)
+                except JobCancelledError:
+                    print("CANCELLED")
+                except Exception as exc:  # noqa: BLE001
+                    print(f"ERROR: {exc}")
+                finally:
+                    self.cancel_btn.disabled = True
+                    self.value_btn.disabled = False
+
+        threading.Thread(target=work, name="storage-gui-valuation",
+                         daemon=True).start()
 
     def _show_results(self, results):
         print(f"full NPV       {results.npv:>14,.0f}")

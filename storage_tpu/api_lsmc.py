@@ -386,14 +386,17 @@ def _host_stream_panels(spot_reg, factors_reg, dtype) -> bool:
     Multi-process runs shard panels across hosts instead.
 
     The gate is PER-DEVICE footprint (matching the internally-simulated
-    auto-select in parallel/mesh.py): the sharded materialised path splits
-    the panels over the local devices, so a multi-chip host only needs
-    host-streaming when a single shard would still blow the threshold."""
+    auto-select in parallel/mesh.py) — but only when the path count divides
+    the local device count, because a non-divisible count falls back to
+    single-device execution downstream (parallel/mesh.py), which must then
+    hold the WHOLE panel set."""
     if jax.process_count() > 1:
         return False
     from .parallel.mesh import STREAM_THRESHOLD_BYTES
 
     n_dev = len(jax.devices())
+    if spot_reg.shape[1] % n_dev != 0:
+        n_dev = 1  # sharded path cannot engage; gate on the full footprint
     per_device = _panel_gb(spot_reg, factors_reg, dtype) * 2**30 / n_dev
     return per_device > STREAM_THRESHOLD_BYTES
 
@@ -582,6 +585,15 @@ def _lsmc_calc(
 
         chunked_mesh = pmesh.make_mesh()
     host_stream_used = False
+
+    def segment_cb(phase, done, total):
+        # Backward weighted ~2/3 of the compute phase like the reference
+        # (LsmcStorageValuation.cs:48,164,387); cap at the 0.9 phase mark
+        # (f64 rounding).
+        frac = done / max(total, 1)
+        part = 0.4 * frac if phase == "backward" else 0.4 + 0.2 * frac
+        progress(min(0.3 + part, 0.9))
+
     with stopwatches.time("lsmc_backward_forward"):
         if use_stream and interactive:
             # Host-chunked streamed execution: the scans run in 16-step
@@ -591,12 +603,6 @@ def _lsmc_calc(
             # LsmcStorageValuation.cs:343-345,521).  Backward is weighted
             # ~2/3 of the compute phase like the reference (:48,164,387).
             sim_inputs, reg_key, val_key, same_sims, num_sims = stream_cfg
-
-            def segment_cb(phase, done, total):
-                frac = done / max(total, 1)
-                part = 0.4 * frac if phase == "backward" else 0.4 + 0.2 * frac
-                progress(min(0.3 + part, 0.9))  # cap: f64 rounding vs the 0.9 phase mark
-
             result = lsmc_engine.lsmc_core_streamed_chunked(
                 arrays, sim_inputs, reg_key, val_key, jnp.arange(num_sims),
                 inputs.starting_inventory, monomials,
@@ -662,11 +668,6 @@ def _lsmc_calc(
                     "(%.1f GB of panels, %d sims).",
                     _panel_gb(spot_reg, factors_reg, dtype), num_sims,
                 )
-
-            def segment_cb(phase, done, total):
-                frac = done / max(total, 1)
-                part = 0.4 * frac if phase == "backward" else 0.4 + 0.2 * frac
-                progress(min(0.3 + part, 0.9))
 
             result = lsmc_engine.lsmc_core_chunked(
                 arrays, spot_reg, factors_reg, spot_val, factors_val,

@@ -198,13 +198,12 @@ def cmd_three_factor(args) -> int:
     storage = _build_storage(_load_json(args.facility))
     market = _market_args(_load_json(args.market), storage)
     model = _load_json(args.model)
-    # --quiet keeps the full-speed sharded path: installing a cancellation
-    # poll makes the valuation interactive, which routes it through the
-    # host-chunked single-device driver (api_lsmc._lsmc_calc).
-    if args.quiet:
-        poll, previous_handler = None, signal.getsignal(signal.SIGINT)
-    else:
-        poll, previous_handler = _sigint_poll()
+    # Graceful Ctrl-C is always on (exit 130 instead of a mid-jit
+    # KeyboardInterrupt); since the host-chunked drivers dispatch segments
+    # shard_map'd over the local mesh, interactivity no longer costs a
+    # multi-device host its sharding — --quiet only silences the progress
+    # printer.
+    poll, previous_handler = _sigint_poll()
     try:
         res = three_factor_seasonal_value(
             storage, market["val_date"], market["inventory"], market["fwd_curve"],

@@ -140,3 +140,30 @@ def test_host_streamed_with_progress(panels, monkeypatch):
     assert np.isfinite(res.npv)
     assert len(fractions) >= 122 / 16
     assert fractions[-1] == 1.0
+
+
+def test_gate_uses_full_footprint_when_paths_do_not_divide_devices(monkeypatch):
+    """A path count that does not divide the local mesh falls back to
+    single-device execution downstream, so the host-stream gate must compare
+    the FULL panel footprint (not footprint/n_devices) against the
+    threshold."""
+    import jax
+
+    from storage_tpu.api_lsmc import _host_stream_panels, _panel_gb
+    from storage_tpu.parallel import mesh as pmesh
+
+    n_dev = len(jax.devices())
+    assert n_dev > 1  # conftest provides 8 virtual devices
+    s = 8 * 100 + 3  # not divisible by 8
+    spot = np.zeros((5, s), np.float64)
+    factors = np.zeros((5, 1, s), np.float64)
+    footprint = _panel_gb(spot, factors, jnp.float64) * 2**30
+    # Threshold between footprint/n_dev and footprint: per-device footprint
+    # passes, full footprint does not -> must still host-stream.
+    monkeypatch.setattr(pmesh, "STREAM_THRESHOLD_BYTES", int(footprint / 2))
+    assert _host_stream_panels(spot, factors, jnp.float64)
+    # Divisible count at the same threshold: sharded path can hold it.
+    s2 = 8 * 104
+    spot2 = np.zeros((5, s2), np.float64)
+    factors2 = np.zeros((5, 1, s2), np.float64)
+    assert not _host_stream_panels(spot2, factors2, jnp.float64)

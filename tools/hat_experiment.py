@@ -237,7 +237,7 @@ def main():
     print(f"4. MXU one-hot hat-only: {t4*1e3:8.2f} ms / {STEPS} steps  ({t4/STEPS*1e6:7.1f} us/step)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--moments" not in sys.argv:
     main()
 
 
