@@ -324,6 +324,11 @@ def decision_update_pallas(
             bytes_accessed=4 * s * (2 * g + b_dim + 1),
             transcendentals=0,
         ),
+        # The value panel is updated IN PLACE: without the alias XLA keeps a
+        # fresh [G, S] output buffer per scan step (measured ~10%/step copy
+        # cost at the bench config; bit-identical either way — each tile is
+        # read before its region is rewritten).
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(
         v_act_next,
@@ -408,6 +413,9 @@ def decision_update_moments_pallas(
             bytes_accessed=4 * s * (2 * g + 2 * (f_dim + 1)),
             transcendentals=0,
         ),
+        # In-place value-panel update (see decision_update_pallas); measured
+        # +4.7%/step on the moments kernel, bit-identical.
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(
         v_act_next,
@@ -742,6 +750,7 @@ def decision_update_fullstep_pallas(
             pltpu.VMEM((1, b_dim), jnp.float32),
             pltpu.VMEM((1, b_dim), jnp.float32),
         ],
+        input_output_aliases={0: 0},  # in-place value panel (see above)
         interpret=interpret,
     )(
         v_act_next,
