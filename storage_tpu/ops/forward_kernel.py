@@ -39,10 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .decision_kernel import _split_bf16, _dot3, pick_sim_tile
 
 # The forward kernel's VMEM working set is smaller than the backward's
-# (no [G, G] hat operators or coefficient panels resident), so a 4096-wide
-# sim tile fits and measured fastest on v5e (147.7 / 156.0 / 170.2 ms at
-# 4096 / 2048 / 1024, bench config, round 4).
-_FWD_TILE_CANDIDATES = (4096, 2048, 1024, 512, 256, 128)
+# (no [G, G] hat operators or coefficient panels resident), so wide sim
+# tiles fit.  Round 4 measured 147.7 / 156.0 / 170.2 ms at 4096/2048/1024
+# with 8192 at noise level; after the round-5 in-place aliasing removed the
+# backward's per-step copy, 8192 measures consistently fastest e2e
+# (262k: 0.441 vs 0.449 s; 1M streamed: 1.556 vs 1.578 s).
+_FWD_TILE_CANDIDATES = (8192, 4096, 2048, 1024, 512, 256, 128)
 
 
 def pick_fwd_sim_tile(num_sims: int) -> int:
