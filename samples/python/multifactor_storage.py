@@ -84,5 +84,13 @@ revalued = value_from_sims(
     sim_factors_valuation=results.sim_factors_valuation,
     basis_funcs="1 + x_st + x_sw + x_lt + x_st**2 + x_sw**2 + x_lt**2 + s + s**2",
     discount_deltas=False,
+    # Matching sim_data_returned flags keep both runs on the same forward
+    # path (mismatched flags flip the fused kernel -> f32 tie-level diffs).
+    sim_data_returned=SimulationDataReturned.ALL,
 )
-print(f"\nvalue_from_sims NPV {revalued.npv:,.0f} (matches: {abs(revalued.npv - results.npv) < 1e-6 * abs(results.npv)})")
+# f64 runs reproduce exactly; f32 device runs agree at tie level (ULP-scale
+# regression differences flip a few near-tie decisions), well inside MC error.
+gap_se = abs(revalued.npv - results.npv) / results.val_sim_standard_error
+print(f"\nvalue_from_sims NPV {revalued.npv:,.0f} vs source {results.npv:,.0f} "
+      f"({gap_se:.2f} standard errors)")
+assert gap_se < 2.0
