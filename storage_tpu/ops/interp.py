@@ -157,9 +157,12 @@ def cubic_moments(grid, values, solver):
     h = (grid[g - 1] - grid[0]) / (g - 1)
     safe_h = jnp.where(h > 0, h, 1.0)
     rhs = 6.0 * (values[2:] - 2.0 * values[1:-1] + values[:-2]) / (safe_h * safe_h)
+    # The precomputed inverse arrives as f64 numpy under x64; keep the moment
+    # pipeline in the values dtype (a promoted carry breaks downstream scans).
     interior = jnp.where(
         h > 0,
-        jnp.dot(solver, rhs, precision=jax.lax.Precision.HIGHEST),
+        jnp.dot(solver.astype(values.dtype), rhs,
+                precision=jax.lax.Precision.HIGHEST),
         jnp.zeros_like(rhs),
     )
     zero = jnp.zeros((1,), values.dtype)
