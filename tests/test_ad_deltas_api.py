@@ -205,3 +205,39 @@ def test_adjoint_with_nonuniform_grid_calc_matches_pathwise():
         adjoint.deltas.to_numpy(), pathwise.deltas.to_numpy(),
         rtol=1e-9, atol=1e-9,
     )
+
+
+def test_adjoint_with_generic_basis_matches_pathwise():
+    """The adjoint composes with generic (callable) basis functions: the
+    differentiated forward evaluates the same user columns, and the envelope
+    identity adjoint == pathwise holds unchanged (docs/API.md claim)."""
+    import jax.numpy as jnp
+
+    from storage_tpu import generic
+
+    basis = [
+        generic(lambda s, x: jnp.ones_like(s), label="1"),
+        generic(lambda s, x: s, label="s"),
+        generic(lambda s, x: x[0], num_factors=1, label="x0"),
+        generic(lambda s, x: jnp.exp(x[0]), num_factors=1, label="exp(x0)"),
+    ]
+    fwd = market()
+    vol_idx = pd.period_range("2020-01-01", "2020-03-15", freq="D")
+    kwargs = dict(
+        interest_rates=0.04, settlement_rule=None,
+        factors=[(9.0, pd.Series(index=vol_idx, data=0.8))], factor_corrs=None,
+        num_sims=512, basis_funcs=basis, discount_deltas=True,
+        seed=7, fwd_sim_seed=8, num_inventory_grid_points=40, dtype=F64,
+    )
+    pathwise = multi_factor_value(
+        ratcheted_storage(), "2020-01-01", 800.0, fwd, **kwargs
+    )
+    adjoint = multi_factor_value(
+        ratcheted_storage(), "2020-01-01", 800.0, fwd,
+        deltas_method="adjoint", **kwargs,
+    )
+    assert adjoint.npv == pytest.approx(pathwise.npv, rel=1e-12)
+    np.testing.assert_allclose(
+        adjoint.deltas.to_numpy(), pathwise.deltas.to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )

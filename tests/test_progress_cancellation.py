@@ -257,3 +257,26 @@ class TestMultiDeviceChunked:
         baseline = self._run(100)
         assert fractions[-1] == 1.0
         assert res.npv == pytest.approx(baseline.npv, rel=1e-12)
+
+
+def test_checkpoint_composes_with_multi_device_interactive(tmp_path):
+    """checkpoint_path + progress callback on the 8-device mesh: the
+    regression payload flows out of the per-segment shard_map (replicated
+    out_specs) and the persisted checkpoint reprices to the same NPV."""
+    import numpy as np
+
+    from storage_tpu.checkpoint import RegressionCheckpoint
+
+    path = str(tmp_path / "ck.npz")
+    val_date, fwd, rates, settle = reg_market()
+    fractions = []
+    res = multi_factor_value(
+        simple_reg_storage(), val_date, 0.0, fwd, rates, settle,
+        _factors(val_date), 0.64, 512, "1 + x0 + x0**2 + x1", False,
+        seed=11, fwd_sim_seed=11, dtype=F64,
+        on_progress_update=fractions.append, checkpoint_path=path,
+    )
+    assert fractions[-1] == 1.0
+    ckpt = RegressionCheckpoint.load(path)
+    assert np.isfinite(res.npv)
+    assert ckpt.regression["coeffs"].ndim == 3
