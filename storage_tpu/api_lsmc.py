@@ -756,6 +756,7 @@ def _lsmc_calc(
                     int(extra_decisions or 0), bool(discount_deltas),
                     terminal_fn, inputs.compiled.ratchet_is_step,
                     antithetic=antithetic, same_sims=same_sims,
+                    pred_passes=int(pred_passes),
                 )
             elif jax.process_count() > 1:
                 # Multi-host user panels (value_from_sims_host_local): the
@@ -771,6 +772,7 @@ def _lsmc_calc(
                     int(extra_decisions or 0), bool(discount_deltas),
                     terminal_fn, inputs.compiled.ratchet_is_step,
                     mesh=dist.global_mesh(), uniform_grids=uniform_grids,
+                    pred_passes=int(pred_passes),
                 )
             elif host_stream_used:
                 # Host-resident panels too large for device memory: the
@@ -797,6 +799,7 @@ def _lsmc_calc(
                     int(extra_decisions or 0), bool(discount_deltas),
                     terminal_fn, inputs.compiled.ratchet_is_step,
                     uniform_grids=uniform_grids,
+                    pred_passes=int(pred_passes),
                 )
             result["deltas"] = np.asarray(deltas_ad)
     logger.info(

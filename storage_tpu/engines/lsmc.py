@@ -1417,7 +1417,7 @@ def lsmc_core_streamed(
     jax.jit,
     static_argnames=(
         "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
-        "ratchet_is_step", "axis_name", "use_pallas", "uniform_grids",
+        "ratchet_is_step", "axis_name", "use_pallas", "uniform_grids", "pred_passes",
     ),
 )
 def lsmc_npv_and_ad_deltas(
@@ -1435,6 +1435,7 @@ def lsmc_npv_and_ad_deltas(
     axis_name: tp.Optional[str] = None,
     use_pallas: bool = False,
     uniform_grids: bool = True,
+    pred_passes: int = 2,
 ):
     """NPV and deltas by automatic differentiation through the valuation.
 
@@ -1464,7 +1465,7 @@ def lsmc_npv_and_ad_deltas(
     v0, regression = lsmc_backward(
         arrays, spot_reg, factors_reg, monomials, num_extra_decisions,
         terminal_fn, ratchet_is_step, axis_name, use_pallas=use_pallas,
-        uniform_grids=uniform_grids,
+        uniform_grids=uniform_grids, pred_passes=pred_passes,
     )
     regression = jax.tree.map(jax.lax.stop_gradient, regression)
     npv, grad_fwd = _forward_value_and_grad(
@@ -1586,7 +1587,7 @@ def lsmc_ad_deltas_path_chunked(
     static_argnames=(
         "monomials", "num_extra_decisions", "discount_deltas", "terminal_fn",
         "ratchet_is_step", "axis_name", "seg_len", "antithetic", "same_sims",
-        "use_pallas",
+        "use_pallas", "pred_passes",
     ),
 )
 def lsmc_npv_and_ad_deltas_streamed(
@@ -1606,6 +1607,7 @@ def lsmc_npv_and_ad_deltas_streamed(
     antithetic: bool = False,
     same_sims: bool = False,
     use_pallas: bool = False,
+    pred_passes: int = 2,
 ):
     """Adjoint deltas with streamed sims and segment rematerialisation
     (VERDICT r02 item 3: the sharded, memory-bounded adjoint sweep).
@@ -1646,7 +1648,7 @@ def lsmc_npv_and_ad_deltas_streamed(
     _v0, regression = lsmc_backward_streamed(
         arrays, reg_stream, monomials, num_extra_decisions, terminal_fn,
         ratchet_is_step, axis_name, use_pallas=use_pallas, seg_len=seg_len,
-        antithetic=antithetic,
+        antithetic=antithetic, pred_passes=pred_passes,
     )
     regression = jax.tree.map(jax.lax.stop_gradient, regression)
 

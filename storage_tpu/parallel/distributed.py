@@ -61,6 +61,13 @@ def initialize(
 
 
 def is_initialized() -> bool:
+    # jax >= 0.9 exposes jax.distributed.is_initialized(); the old
+    # global_state attribute no longer exists (probing it always returned
+    # False, which broke initialize()'s idempotency: a second call would
+    # reach jax.distributed.initialize() and raise).
+    probe = getattr(jax.distributed, "is_initialized", None)
+    if callable(probe):
+        return bool(probe())
     state = getattr(jax.distributed, "global_state", None)
     return state is not None and getattr(state, "client", None) is not None
 

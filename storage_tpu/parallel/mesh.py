@@ -45,10 +45,45 @@ STREAM_THRESHOLD_BYTES = int(
 )
 
 
-def _panel_bytes(num_steps: int, s_local: int, num_factors: int, itemsize: int) -> int:
-    """HBM footprint of the two materialised sim-panel sets ([N+1, S] spot +
-    [N+1, F, S] factors, regression + valuation)."""
-    return 2 * (num_steps + 1) * s_local * (num_factors + 1) * itemsize
+def _panel_bytes(num_steps: int, s_local: int, num_factors: int, itemsize: int,
+                 num_sets: int = 2) -> int:
+    """HBM footprint of the materialised sim-panel sets ([N+1, S] spot +
+    [N+1, F, S] factors per set; regression + valuation = 2 sets, or 1 when
+    same_sims reuses the regression panels)."""
+    return num_sets * (num_steps + 1) * s_local * (num_factors + 1) * itemsize
+
+
+
+# Engine result keys and their shard_map output shardings — shared by both
+# sharded entry points so a new engine output is added in ONE place (a
+# missing key produces a shard_map output-structure mismatch).
+_SHARDED_SIM_KEYS = frozenset({
+    "sim_inventory", "sim_inject_withdraw", "sim_cmdty_consumed",
+    "sim_inventory_loss", "sim_net_volume", "sim_pv",
+})
+_RESULT_KEYS = (
+    "npv", "standard_error", "backward_npv", "deltas", "profile_inventory",
+    "profile_inject_withdraw", "profile_cmdty_consumed",
+    "profile_inventory_loss", "profile_pv", "trigger_inject_volumes",
+    "trigger_inject_prices", "trigger_withdraw_volumes",
+    "trigger_withdraw_prices", "max_inject_volume",
+    "max_inject_trigger_price", "max_withdraw_volume",
+    "max_withdraw_trigger_price", "withdraw_max_volume_price",
+)
+
+
+def _build_out_specs(return_sim_data: bool, return_regression: bool):
+    """Reduced outputs are replicated; per-sim panels keep their path shard;
+    the regression payload is identical on every shard after the moments
+    psum."""
+    out_specs = {k: P() for k in _RESULT_KEYS}
+    if return_sim_data:
+        for k in _SHARDED_SIM_KEYS:
+            out_specs[k] = P(None, AXIS)
+    if return_regression:
+        for k in ("regression_mean", "regression_std", "regression_coeffs"):
+            out_specs[k] = P()
+    return out_specs
 
 
 def _log_execution(mesh: tp.Optional[Mesh], use_pallas: bool, num_sims: int,
@@ -150,29 +185,7 @@ def _sharded_lsmc_jit(
             return_regression=return_regression,
         )
 
-    # Reduced outputs are identical on every shard; per-sim panels keep their
-    # path shard.
-    sharded_keys = {
-        "sim_inventory", "sim_inject_withdraw", "sim_cmdty_consumed",
-        "sim_inventory_loss", "sim_net_volume", "sim_pv",
-    }
-    result_keys = [
-        "npv", "standard_error", "backward_npv", "deltas", "profile_inventory",
-        "profile_inject_withdraw", "profile_cmdty_consumed",
-        "profile_inventory_loss", "profile_pv", "trigger_inject_volumes",
-        "trigger_inject_prices", "trigger_withdraw_volumes",
-        "trigger_withdraw_prices", "max_inject_volume",
-        "max_inject_trigger_price", "max_withdraw_volume",
-        "max_withdraw_trigger_price", "withdraw_max_volume_price",
-    ]
-    out_specs = {k: P() for k in result_keys}
-    if return_sim_data:
-        for k in sharded_keys:
-            out_specs[k] = P(None, AXIS)
-    if return_regression:
-        # Identical on every shard after the moments psum.
-        for k in ("regression_mean", "regression_std", "regression_coeffs"):
-            out_specs[k] = P()
+    out_specs = _build_out_specs(return_sim_data, return_regression)
 
     mapped = jax.shard_map(
         shard_fn,
@@ -236,6 +249,7 @@ def sharded_lsmc_core(
         footprint = _panel_bytes(
             n_steps, s_local, sim_inputs["decay"].shape[1],
             jnp.dtype(arrays["grids"].dtype).itemsize,
+            num_sets=1 if same_sims else 2,
         )
         stream = not return_sim_data and footprint > STREAM_THRESHOLD_BYTES
     if stream and return_sim_data:
@@ -310,27 +324,7 @@ def _sharded_from_sims_jit(
             pred_passes=pred_passes, uniform_grids=uniform_grids,
         )
 
-    sharded_keys = {
-        "sim_inventory", "sim_inject_withdraw", "sim_cmdty_consumed",
-        "sim_inventory_loss", "sim_net_volume", "sim_pv",
-    }
-    result_keys = [
-        "npv", "standard_error", "backward_npv", "deltas", "profile_inventory",
-        "profile_inject_withdraw", "profile_cmdty_consumed",
-        "profile_inventory_loss", "profile_pv", "trigger_inject_volumes",
-        "trigger_inject_prices", "trigger_withdraw_volumes",
-        "trigger_withdraw_prices", "max_inject_volume",
-        "max_inject_trigger_price", "max_withdraw_volume",
-        "max_withdraw_trigger_price", "withdraw_max_volume_price",
-    ]
-    out_specs = {k: P() for k in result_keys}
-    if return_sim_data:
-        for k in sharded_keys:
-            out_specs[k] = P(None, AXIS)
-    if return_regression:
-        # Identical on every shard after the moments psum.
-        for k in ("regression_mean", "regression_std", "regression_coeffs"):
-            out_specs[k] = P()
+    out_specs = _build_out_specs(return_sim_data, return_regression)
 
     mapped = jax.shard_map(
         shard_fn,
@@ -393,8 +387,20 @@ def lsmc_core_from_sims(
             )
         arrays, inv0 = dist.replicate_to_global((arrays, inv0), mesh)
     if mesh is None or mesh.devices.size == 1 or num_sims % mesh.devices.size != 0:
-        resolved_pallas = lsmc_engine.resolve_use_pallas(
-            use_pallas, num_sims, arrays["grids"].dtype
+        if multiprocess:
+            # Globally-sharded panels cannot run the eager single-device
+            # engine (non-addressable shards fail far from the cause);
+            # mirror sharded_lsmc_core's explicit error.
+            raise ValueError(
+                f"num_sims ({num_sims}) must be a multiple of the global "
+                f"mesh size in multi-process runs; use pad_num_sims."
+            )
+        resolved_pallas = (
+            lsmc_engine.resolve_use_pallas(
+                use_pallas, num_sims, arrays["grids"].dtype
+            )
+            and uniform_grids
+            and not lsmc_engine.has_generic(monomials)
         )
         _log_execution(None, resolved_pallas, num_sims)
         return lsmc_engine.lsmc_core(
@@ -406,9 +412,11 @@ def lsmc_core_from_sims(
             pred_passes=pred_passes, uniform_grids=uniform_grids,
         )
     s_local = num_sims // mesh.devices.size
-    resolved_pallas = lsmc_engine.resolve_use_pallas(
-        use_pallas, s_local, arrays["grids"].dtype
-    ) and not lsmc_engine.has_generic(monomials)
+    resolved_pallas = (
+        lsmc_engine.resolve_use_pallas(use_pallas, s_local, arrays["grids"].dtype)
+        and uniform_grids
+        and not lsmc_engine.has_generic(monomials)
+    )
     _log_execution(mesh, resolved_pallas, num_sims)
     return _sharded_from_sims_jit(
         arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
@@ -427,24 +435,28 @@ def lsmc_core_from_sims(
     static_argnames=(
         "mesh", "s_local", "monomials", "num_extra_decisions",
         "discount_deltas", "terminal_fn", "ratchet_is_step", "seg_len",
-        "antithetic", "same_sims", "use_pallas",
+        "antithetic", "same_sims", "use_pallas", "pred_passes",
     ),
 )
 def _sharded_ad_deltas_jit(
     arrays, sim_inputs, reg_key, val_key, inv0,
     *, mesh, s_local, monomials, num_extra_decisions, discount_deltas,
     terminal_fn, ratchet_is_step, seg_len=16, antithetic=False,
-    same_sims=False, use_pallas=False,
+    same_sims=False, use_pallas=False, pred_passes=2,
 ):
+    # eff_axis: a 1-device mesh needs no collectives (matches the other
+    # jit wrappers; also lets the single-device-only fullstep kernel engage).
+    eff_axis = AXIS if mesh.devices.size > 1 else None
+
     def shard_fn(arrays, sim_inputs, reg_key, val_key, inv0):
         shard = jax.lax.axis_index(AXIS)
         path_ids = shard * s_local + jnp.arange(s_local)
         npv, grad_local = lsmc_engine.lsmc_npv_and_ad_deltas_streamed(
             arrays, sim_inputs, reg_key, val_key, path_ids, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
-            ratchet_is_step, axis_name=AXIS, seg_len=seg_len,
+            ratchet_is_step, axis_name=eff_axis, seg_len=seg_len,
             antithetic=antithetic, same_sims=same_sims,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, pred_passes=pred_passes,
         )
         # Both are pmean-reduced across shards inside the engine function
         # (the gradient is computed collective-free per shard and averaged
@@ -478,6 +490,7 @@ def sharded_ad_deltas(
     seg_len: int = 16,
     antithetic: bool = False,
     same_sims: bool = False,
+    pred_passes: int = 2,
 ):
     """Path-sharded adjoint-delta sweep: streamed sims + segment remat per
     shard (lsmc_npv_and_ad_deltas_streamed), gradients psum'd across the
@@ -514,6 +527,7 @@ def sharded_ad_deltas(
         use_pallas=lsmc_engine.resolve_use_pallas(
             None, num_sims // n_dev, arrays["grids"].dtype
         ),
+        pred_passes=pred_passes,
     )
 
 
@@ -522,25 +536,28 @@ def sharded_ad_deltas(
     static_argnames=(
         "mesh", "monomials", "num_extra_decisions", "discount_deltas",
         "terminal_fn", "ratchet_is_step", "use_pallas", "uniform_grids",
+        "pred_passes",
     ),
 )
 def _sharded_ad_from_sims_jit(
-    arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0,
+    arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
     *, mesh, monomials, num_extra_decisions, discount_deltas, terminal_fn,
-    ratchet_is_step, use_pallas, uniform_grids=True,
+    ratchet_is_step, use_pallas, uniform_grids=True, pred_passes=2,
 ):
     eff_axis = AXIS if mesh.devices.size > 1 else None
 
-    def shard_fn(arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0):
+    def shard_fn(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0):
         # Backward with globally psum'd moments (replicated payload), then a
         # collective-free per-shard forward grad, pmean'd explicitly — the
         # lsmc_npv_and_ad_deltas_streamed structure, over panel inputs.
+        # Spot -> stochastic part per SHARD (an eager global division would
+        # transiently materialise two extra full panels on one device).
         fwd = arrays["fwd"]
-        spot_reg = fwd[:, None] * stoch_reg
+        stoch_val = spot_val / fwd[:, None]
         _v0, regression = lsmc_engine.lsmc_backward(
             arrays, spot_reg, factors_reg, monomials, num_extra_decisions,
             terminal_fn, ratchet_is_step, eff_axis, use_pallas=use_pallas,
-            uniform_grids=uniform_grids,
+            uniform_grids=uniform_grids, pred_passes=pred_passes,
         )
         regression = jax.tree.map(jax.lax.stop_gradient, regression)
         npv_local, grad_local = lsmc_engine._forward_value_and_grad(
@@ -566,7 +583,7 @@ def _sharded_ad_from_sims_jit(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return mapped(arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0)
+    return mapped(arrays, spot_reg, factors_reg, spot_val, factors_val, inv0)
 
 
 def sharded_ad_deltas_from_sims(
@@ -580,6 +597,7 @@ def sharded_ad_deltas_from_sims(
     ratchet_is_step: bool,
     mesh: tp.Optional[Mesh] = None,
     uniform_grids: bool = True,
+    pred_passes: int = 2,
 ):
     """Adjoint deltas over pre-simulated panels, path-sharded across local
     devices or a multi-process global mesh (completes the adjoint matrix for
@@ -601,10 +619,15 @@ def sharded_ad_deltas_from_sims(
         from . import distributed as dist
 
         arrays, inv0 = dist.replicate_to_global((arrays, inv0), mesh)
-    fwd = arrays["fwd"]
-    stoch_reg = spot_reg / fwd[:, None]
-    stoch_val = spot_val / fwd[:, None]
     if mesh is None or mesh.devices.size == 1 or num_sims % mesh.devices.size != 0:
+        if multiprocess:
+            raise ValueError(
+                f"num_sims ({num_sims}) must be a multiple of the global "
+                f"mesh size in multi-process runs; use pad_num_sims."
+            )
+        fwd = arrays["fwd"]
+        stoch_reg = spot_reg / fwd[:, None]
+        stoch_val = spot_val / fwd[:, None]
         return lsmc_engine.lsmc_npv_and_ad_deltas(
             arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0,
             monomials, num_extra_decisions, discount_deltas, terminal_fn,
@@ -612,7 +635,7 @@ def sharded_ad_deltas_from_sims(
             use_pallas=lsmc_engine.resolve_use_pallas(
                 None, num_sims, arrays["grids"].dtype
             ),
-            uniform_grids=uniform_grids,
+            uniform_grids=uniform_grids, pred_passes=pred_passes,
         )
     s_local = num_sims // mesh.devices.size
     resolved_pallas = (
@@ -621,10 +644,10 @@ def sharded_ad_deltas_from_sims(
         and not lsmc_engine.has_generic(monomials)
     )
     return _sharded_ad_from_sims_jit(
-        arrays, stoch_reg, factors_reg, stoch_val, factors_val, inv0,
+        arrays, spot_reg, factors_reg, spot_val, factors_val, inv0,
         mesh=mesh, monomials=monomials,
         num_extra_decisions=num_extra_decisions,
         discount_deltas=discount_deltas, terminal_fn=terminal_fn,
         ratchet_is_step=ratchet_is_step, use_pallas=resolved_pallas,
-        uniform_grids=uniform_grids,
+        uniform_grids=uniform_grids, pred_passes=pred_passes,
     )
