@@ -64,7 +64,6 @@ from ..ops.regression import (
     predict,
     standardise_moments,
 )
-from .intrinsic import immediate_pv
 
 NUM_TRIGGER_PRICE_VOLUMES = 10  # LsmcStorageValuation.cs:383
 
@@ -681,6 +680,19 @@ def lsmc_backward_streamed(
     adjoint-delta sweep feasible at bench scale."""
     if snap_interp is None:
         snap_interp = use_pallas
+    elif use_pallas and not snap_interp:
+        # Same hazard as lsmc_backward: the kernel force-snaps the hat
+        # matrix, so unsnapped coefficient interpolation silently diverges
+        # the two continuation quadratures (ADVICE r03 item 4).
+        import warnings
+
+        warnings.warn(
+            "use_pallas=True with snap_interp=False: the Pallas kernel snaps "
+            "interpolation weights internally, so the coefficient "
+            "interpolation will use a different quadrature than the value "
+            "interpolation. Pass snap_interp=True (or leave it None).",
+            stacklevel=2,
+        )
     grids = arrays["grids"]
     n = grids.shape[0] - 1
     seg_len = max(1, min(seg_len, n))
@@ -1185,6 +1197,7 @@ def lsmc_forward_streamed(
     antithetic: bool = False,
     remat: bool = False,
     seg_len: int = 16,
+    fwd_pred_passes: int = 2,
 ):
     """Forward simulation with in-scan path regeneration: the scan carries the
     OU factor state and prices each step on the fly, so no [N, S] valuation
@@ -1207,6 +1220,7 @@ def lsmc_forward_streamed(
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, False, s_local, sim_tile, dtype,
+        fwd_pred_passes=fwd_pred_passes,
     )
     body = fused_body if fused else plain_body
 
@@ -1327,6 +1341,7 @@ def lsmc_core(
         arrays, spot_val, factors_val, regression, starting_inventory, monomials,
         num_extra_decisions, discount_deltas, terminal_fn, ratchet_is_step, axis_name,
         return_sim_data, use_pallas=use_pallas, uniform_grids=uniform_grids,
+        fwd_pred_passes=pred_passes,
     )
     # Backward (upper-ish) estimate: mean over sims of the first-period values at
     # the known starting inventory (grid[0] is degenerate) — LsmcStorageValuation.cs:623.
@@ -1404,6 +1419,7 @@ def lsmc_core_streamed(
         arrays, val_stream, regression, starting_inventory, monomials,
         num_extra_decisions, discount_deltas, terminal_fn, ratchet_is_step,
         axis_name, use_pallas=use_pallas, antithetic=antithetic,
+        fwd_pred_passes=pred_passes,
     )
     result["backward_npv"] = _global_mean_over_sims(v0[0], axis_name)
     if return_regression:
@@ -1468,11 +1484,18 @@ def lsmc_npv_and_ad_deltas(
         uniform_grids=uniform_grids, pred_passes=pred_passes,
     )
     regression = jax.tree.map(jax.lax.stop_gradient, regression)
-    npv, grad_fwd = _forward_value_and_grad(
+    # The differentiated forward runs COLLECTIVE-FREE per shard and the
+    # value/gradient are pmean'd explicitly: differentiating through
+    # psum/pmean under shard_map has an ill-defined transpose (the streamed
+    # variant documents the shard-count-dependent gradients an earlier
+    # version produced).  Equal shard sizes make the explicit means exact.
+    npv_local, grad_local = _forward_value_and_grad(
         arrays, regression, stoch_val, factors_val, starting_inventory,
         monomials, num_extra_decisions, terminal_fn, ratchet_is_step,
-        axis_name, uniform_grids=uniform_grids,
+        None, uniform_grids=uniform_grids,
     )
+    npv = _pmean(npv_local, axis_name)
+    grad_fwd = _pmean(grad_local, axis_name)
     return _undiscount_deltas(arrays, npv, grad_fwd, discount_deltas)
 
 
@@ -1668,10 +1691,7 @@ def lsmc_npv_and_ad_deltas_streamed(
     # its gradient are the plain across-shard means.
     npv = _pmean(npv_local, axis_name)
     grad_fwd = _pmean(grad_local, axis_name)
-    if discount_deltas:
-        return npv, grad_fwd
-    df = jnp.concatenate([arrays["df_settle"], jnp.ones((1,), fwd.dtype)])
-    return npv, grad_fwd / df
+    return _undiscount_deltas(arrays, npv, grad_fwd, discount_deltas)
 
 
 def build_engine_arrays(
@@ -1779,7 +1799,7 @@ def _backward_segment_chunk_jit(
 
 _FWD_SEG_STATICS = (
     "monomials", "num_extra_decisions", "discount_deltas", "ratchet_is_step",
-    "axis_name", "antithetic", "fused",
+    "axis_name", "antithetic", "fused", "fwd_pred_passes",
 )
 
 
@@ -1787,7 +1807,7 @@ _FWD_SEG_STATICS = (
 def _forward_segment_chunk_jit(
     stream: StreamedSims, carry, seg,
     *, monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
-    axis_name, antithetic, fused,
+    axis_name, antithetic, fused, fwd_pred_passes=2,
 ):
     s_local = stream.path_ids.shape[0]
     dtype = carry[0].dtype
@@ -1795,6 +1815,7 @@ def _forward_segment_chunk_jit(
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, False, s_local, sim_tile, dtype,
+        fwd_pred_passes=fwd_pred_passes,
     )
     body = fused_body if fused else plain_body
     # One bulk hash call for the whole segment (per-step draws inside the
@@ -2010,8 +2031,6 @@ def lsmc_core_streamed_chunked(
     shard_map'd over the local path mesh (interactivity no longer costs a
     multi-chip host its sharding — see _ChunkedMeshCalls)."""
     use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
-    if snap_interp is None:
-        snap_interp = use_pallas
     grids = arrays["grids"]
     n = grids.shape[0] - 1
     seg_len = max(1, min(seg_len, n))
@@ -2019,8 +2038,16 @@ def lsmc_core_streamed_chunked(
     total = m + (1 if r else 0)
     dtype = grids.dtype
     s_local = path_ids.shape[0]
-    fused = use_pallas and sim_inputs["decay"].shape[1] > 0
     mesh = _resolve_chunked_mesh(mesh, s_local)
+    # Kernel eligibility must be decided on the PER-SHARD path count: inside
+    # the per-segment shard_map each device sees s_local / n_dev sims, and a
+    # global count that tiles while the shard does not would reach the
+    # kernels with tile 0 (grid division by zero at trace time).
+    s_shard = s_local // mesh.devices.size if mesh is not None else s_local
+    use_pallas = use_pallas and decision_kernel.pick_sim_tile(s_shard) > 0
+    if snap_interp is None:
+        snap_interp = use_pallas
+    fused = use_pallas and sim_inputs["decay"].shape[1] > 0
     mcalls = _ChunkedMeshCalls(mesh, fused) if mesh is not None else None
     eff_axis = _MESH_AXIS if mcalls is not None else None
 
@@ -2091,7 +2118,7 @@ def lsmc_core_streamed_chunked(
 
     # ---- forward, segments in time order.
     fwd_fused = _resolve_forward_fused(
-        use_pallas, False, dtype, forward_kernel.pick_fwd_sim_tile(s_local)
+        use_pallas, False, dtype, forward_kernel.pick_fwd_sim_tile(s_shard)
     )
     fper = _forward_per_step(arrays, regression, fwd_fused)
     fper.update(_stream_step_arrays(val_stream, n))
@@ -2099,6 +2126,7 @@ def lsmc_core_streamed_chunked(
         monomials=monomials, num_extra_decisions=num_extra_decisions,
         discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
         axis_name=eff_axis, antithetic=antithetic, fused=fwd_fused,
+        fwd_pred_passes=pred_passes,
     )
     fwd_call = (
         mcalls.fwd_seg_streamed if mcalls is not None
@@ -2196,6 +2224,7 @@ def _forward_segment_chunk_mat_jit(
     carry, seg,
     *, monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
     axis_name, antithetic, fused, return_sim_data, uniform_grids=True,
+    fwd_pred_passes=2,
 ):
     del antithetic
     s_local = carry[0].shape[0]
@@ -2204,7 +2233,7 @@ def _forward_segment_chunk_mat_jit(
     fused_body, plain_body = _forward_bodies(
         monomials, num_extra_decisions, discount_deltas, ratchet_is_step,
         axis_name, return_sim_data, s_local, sim_tile, dtype,
-        uniform_grids=uniform_grids,
+        uniform_grids=uniform_grids, fwd_pred_passes=fwd_pred_passes,
     )
     return jax.lax.scan(fused_body if fused else plain_body, carry, seg)
 
@@ -2241,8 +2270,6 @@ def lsmc_core_chunked(
     use_pallas = use_pallas and not has_generic(monomials)  # generic basis -> XLA path
     if not uniform_grids:
         use_pallas = False  # general-interp XLA path (see lsmc_core)
-    if snap_interp is None:
-        snap_interp = use_pallas
     grids = arrays["grids"]
     n = grids.shape[0] - 1
     seg_len = max(1, min(seg_len, n))
@@ -2250,8 +2277,13 @@ def lsmc_core_chunked(
     total = m + (1 if r else 0)
     dtype = grids.dtype
     s_local = spot_reg.shape[1]
-    fused = use_pallas and factors_reg.shape[1] > 0
     mesh = _resolve_chunked_mesh(mesh, s_local)
+    # Per-shard kernel eligibility — see lsmc_core_streamed_chunked.
+    s_shard = s_local // mesh.devices.size if mesh is not None else s_local
+    use_pallas = use_pallas and decision_kernel.pick_sim_tile(s_shard) > 0
+    if snap_interp is None:
+        snap_interp = use_pallas
+    fused = use_pallas and factors_reg.shape[1] > 0
     mcalls = _ChunkedMeshCalls(mesh, fused) if mesh is not None else None
     eff_axis = _MESH_AXIS if mcalls is not None else None
 
@@ -2328,7 +2360,7 @@ def lsmc_core_chunked(
     v0 = carry[0] if fused else carry
 
     fwd_fused = _resolve_forward_fused(
-        use_pallas, return_sim_data, dtype, forward_kernel.pick_fwd_sim_tile(s_local)
+        use_pallas, return_sim_data, dtype, forward_kernel.pick_fwd_sim_tile(s_shard)
     )
     fper = _forward_per_step(arrays, regression, fwd_fused)
     fper["spot"] = spot_val[:n]
@@ -2338,6 +2370,7 @@ def lsmc_core_chunked(
         discount_deltas=discount_deltas, ratchet_is_step=ratchet_is_step,
         axis_name=eff_axis, antithetic=False, fused=fwd_fused,
         return_sim_data=return_sim_data, uniform_grids=uniform_grids,
+        fwd_pred_passes=pred_passes,
     )
     fwd_call = (
         mcalls.fwd_seg_mat if mcalls is not None
