@@ -1182,6 +1182,33 @@ def lsmc_forward(
     )
 
 
+def _stream_forward_segment_scan(stream, carry, seg, body, antithetic):
+    """Scan one streamed-forward segment: bulk-draw the whole segment's
+    normals in ONE hash call (per-step draws inside the scan SEQUENTIALISE
+    the threefry hashing, measured ~70 ms per 262k-path sweep), then step
+    the OU state alongside the inventory/pv carry.  Values are bit-identical
+    to per-step drawing.  Shared by the fully-jitted forward scan and the
+    host-chunked segment driver so the two streamed forward bodies cannot
+    diverge (the backward pass shares _process_backward_segment for the
+    same reason)."""
+    z_xs, get_z = _stream_scan_draws(stream, seg["t_idx"], antithetic)
+
+    def streamed_body(c, one):
+        z_or_t, x = one
+        inventory, pv, x_state = c
+        z = get_z(z_or_t, x["t_idx"])
+        x_new = spot_sim_mod.ou_step(x_state, z, x["sim_decay"], x["sim_chol"])
+        x = dict(x)
+        x["spot"] = spot_sim_mod.spot_from_state(
+            x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
+        )
+        x["factors"] = x_new  # [F, S] state layout
+        (new_inventory, new_pv), outputs = body((inventory, pv), x)
+        return (new_inventory, new_pv, x_new), outputs
+
+    return jax.lax.scan(streamed_body, carry, (z_xs, seg))
+
+
 def lsmc_forward_streamed(
     arrays: tp.Dict[str, jnp.ndarray],
     stream: StreamedSims,
@@ -1225,30 +1252,7 @@ def lsmc_forward_streamed(
     body = fused_body if fused else plain_body
 
     def seg_scan_plain(carry, seg_xs):
-        # Bulk-draw the whole segment's normals in ONE hash call, then
-        # consume them step-by-step from their block-half layout: per-step
-        # drawing inside the scan SEQUENTIALISES the threefry hashing
-        # (measured ~70 ms per 262k-path sweep; the streamed backward has
-        # always regenerated per segment — this applies the same structure
-        # to the forward pass).  Values are bit-identical either way.
-        z_xs, get_z = _stream_scan_draws(stream, seg_xs["t_idx"], antithetic)
-
-        def inner(c, one):
-            z_or_t, x = one
-            inventory, pv, x_state = c
-            z = get_z(z_or_t, x["t_idx"])
-            x_new = spot_sim_mod.ou_step(
-                x_state, z, x["sim_decay"], x["sim_chol"]
-            )
-            x = dict(x)
-            x["spot"] = spot_sim_mod.spot_from_state(
-                x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
-            )
-            x["factors"] = x_new  # [F, S] state layout
-            (new_inventory, new_pv), outputs = body((inventory, pv), x)
-            return (new_inventory, new_pv, x_new), outputs
-
-        return jax.lax.scan(inner, carry, (z_xs, seg_xs))
+        return _stream_forward_segment_scan(stream, carry, seg_xs, body, antithetic)
 
     inv0 = jnp.full((s_local,), jnp.asarray(starting_inventory, dtype))
     pv0 = jnp.zeros((s_local,), dtype)
@@ -1818,24 +1822,7 @@ def _forward_segment_chunk_jit(
         fwd_pred_passes=fwd_pred_passes,
     )
     body = fused_body if fused else plain_body
-    # One bulk hash call for the whole segment (per-step draws inside the
-    # scan sequentialise the hashing — see lsmc_forward_streamed).
-    z_xs, get_z = _stream_scan_draws(stream, seg["t_idx"], antithetic)
-
-    def streamed_body(c, one):
-        z_or_t, x = one
-        inventory, pv, x_state = c
-        z = get_z(z_or_t, x["t_idx"])
-        x_new = spot_sim_mod.ou_step(x_state, z, x["sim_decay"], x["sim_chol"])
-        x = dict(x)
-        x["spot"] = spot_sim_mod.spot_from_state(
-            x_new, x["sim_fwd"], x["sim_hv"], x["sim_vols"]
-        )
-        x["factors"] = x_new  # [F, S] state layout
-        (new_inventory, new_pv), outputs = body((inventory, pv), x)
-        return (new_inventory, new_pv, x_new), outputs
-
-    return jax.lax.scan(streamed_body, carry, (z_xs, seg))
+    return _stream_forward_segment_scan(stream, carry, seg, body, antithetic)
 
 
 # ------------------- multi-device host-chunked execution (VERDICT r04 item 6)
