@@ -272,10 +272,14 @@ def _as_monomial_list(value) -> BasisFunctionList:
         return BasisFunctionList([value.monomial])
     if isinstance(value, (Monomial, GenericBasisFunction)):
         return BasisFunctionList([value])
-    if isinstance(value, (list, tuple)) and all(
-        isinstance(m, (Monomial, GenericBasisFunction)) for m in value
-    ):
-        return BasisFunctionList(list(value))
+    if isinstance(value, (list, tuple)):
+        # Coerce element-wise so builder atoms (ONE, S, X0**2), generics,
+        # bare callables, raw Monomials, and the literal 1 all mix freely in
+        # one list — the same terms `+`-sums accept.
+        out = BasisFunctionList()
+        for m in value:
+            out = out + _as_monomial_list(m)
+        return out
     if callable(value):  # bare callables wrap as generic basis functions
         return BasisFunctionList([GenericBasisFunction(value)])
     if value == 1:  # the constant term: `1 + S + ...`

@@ -210,6 +210,28 @@ class TestGenericBasisFunctions:
         np.testing.assert_allclose(dm[:, 2], np.asarray(factors[1]))
         np.testing.assert_allclose(dm[:, 3], np.exp(-np.asarray(factors[0])), rtol=1e-6)
 
+    def test_mixed_list_of_builders_generics_and_literals_coerces(self):
+        """A plain list mixing builder atoms, generics, bare callables, raw
+        Monomials, and the literal 1 coerces like the equivalent +-sum
+        (the docstring's 'mixable in a list' contract)."""
+        from storage_tpu.basis import (
+            Monomial, ONE, S, X0, coerce_basis_functions, generic,
+        )
+
+        g = generic(lambda s_, x_: jnp.exp(-x_[0]), num_factors=1, label="e")
+        bare = lambda s_, x_: s_ * s_ * s_  # noqa: E731
+        entries = coerce_basis_functions(
+            [ONE, S, S ** 2, X0, Monomial(0, ((1, 1),)), g, bare]
+        )
+        assert len(entries) == 7
+        assert entries[:5] == list(
+            coerce_basis_functions(ONE + S + S ** 2 + X0 + Monomial(0, ((1, 1),)))
+        )
+        assert entries[5] is g
+        # Repeated terms across mixed forms still raise.
+        with pytest.raises(ValueError, match="repeated"):
+            coerce_basis_functions([ONE, S, 1])
+
     def test_generic_replicating_monomial_is_exact(self):
         """A callable computing s*x0 must value identically (f64) to the
         monomial s*x0 — same design matrix, same regression."""
